@@ -1,0 +1,8 @@
+from .expressions import (  # noqa: F401
+    haversine_expr,
+    morton_key_expr,
+    sinusoidal_x_expr,
+    sinusoidal_y_expr,
+    spatial_window_predicate,
+    tile_expr,
+)

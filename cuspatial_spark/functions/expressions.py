@@ -1,0 +1,100 @@
+"""Pure Catalyst column expressions for the hot-path spatial math.
+
+Everything here compiles to JVM whole-stage-codegen — no Python UDFs —
+so filters and keys push down into scans and stay off the Python worker
+entirely.  Formula provenance:
+
+- haversine: /root/reference/cpp/include/cuspatial/detail/distance/haversine.cuh:39-57
+  (inputs are lon/lat DEGREES, radius default 6371.0 km)
+- sinusoidal: /root/reference/cpp/include/cuspatial/detail/projection/
+  sinusoidal_projection.cuh:35-61 (40000/360 km per degree)
+- morton key: /root/reference/cpp/include/cuspatial/detail/utility/z_order.cuh:69-94
+  re-expressed with the public shift-mask dilation identity
+- spatial window: strict inequalities with bound normalization
+  (/root/reference/cpp/include/cuspatial/detail/points_in_range.cuh:44-47,
+  core/spatial/filtering.py:11-63)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+KM_PER_DEGREE = 40000.0 / 360.0
+
+
+def haversine_expr(lon1, lat1, lon2, lat2, radius: float = EARTH_RADIUS_KM) -> Column:
+    """Great-circle distance in km between degree lon/lat columns."""
+    ax, ay = F.radians(lon1), F.radians(lat1)
+    bx, by = F.radians(lon2), F.radians(lat2)
+    x = (bx - ax) / 2
+    y = (by - ay) / 2
+    sinysqrd = F.sin(y) * F.sin(y)
+    sinxsqrd = F.sin(x) * F.sin(x)
+    scale = F.cos(ay) * F.cos(by)
+    return F.lit(2.0 * radius) * F.asin(F.sqrt(sinysqrd + sinxsqrd * scale))
+
+
+def sinusoidal_x_expr(lon, lat, origin_lon: float, origin_lat: float) -> Column:
+    """Sinusoidal projection x (km): (origin_lon - lon) scaled by
+    cos(midpoint latitude)."""
+    mid_lat = (F.lit(float(origin_lat)) + lat) / 2
+    return (
+        (F.lit(float(origin_lon)) - lon)
+        * F.lit(KM_PER_DEGREE)
+        * F.cos(F.radians(mid_lat))
+    )
+
+
+def sinusoidal_y_expr(lat, origin_lat: float) -> Column:
+    return (F.lit(float(origin_lat)) - lat) * F.lit(KM_PER_DEGREE)
+
+
+def spatial_window_predicate(x, y, x_min, x_max, y_min, y_max) -> Column:
+    """Strict rectangular window (boundary excluded); reversed bounds
+    are swapped like the reference wrapper."""
+    lo_x, hi_x = min(x_min, x_max), max(x_min, x_max)
+    lo_y, hi_y = min(y_min, y_max), max(y_min, y_max)
+    return (x > lo_x) & (x < hi_x) & (y > lo_y) & (y < hi_y)
+
+
+def _dilate2_expr(c: Column) -> Column:
+    """Spread bits of a 16-bit int column so bit i lands at bit 2i.
+    Classic binary-magic-numbers dilation, as Catalyst bit ops."""
+    x = c.cast("bigint")
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_key_expr(
+    x, y, x_min: float, x_max: float, y_min: float, y_max: float,
+    scale: float, max_depth: int,
+) -> Column:
+    """Full-depth Morton key per point (bigint column); out-of-AOI
+    points get the sentinel max key, matching
+    detail/index/construction/phase_1.cuh:60-95."""
+    ux = F.floor((x - F.lit(float(x_min))) / F.lit(float(scale))).cast("bigint")
+    uy = F.floor((y - F.lit(float(y_min))) / F.lit(float(scale))).cast("bigint")
+    key = F.shiftleft(_dilate2_expr(uy), 1).bitwiseOR(_dilate2_expr(ux))
+    sentinel = F.lit((1 << (2 * max_depth)) - 1)
+    outside = (
+        (x < F.lit(float(x_min)))
+        | (x > F.lit(float(x_max)))
+        | (y < F.lit(float(y_min)))
+        | (y > F.lit(float(y_max)))
+    )
+    return F.when(outside, sentinel).otherwise(key)
+
+
+def tile_expr(morton_key: Column, max_depth: int, tile_level: int) -> Column:
+    """Coarse tile id = top 2*tile_level bits of the full-depth Morton
+    key — the H3/S2-style cell used for partitioning and the equi-join
+    filter phase."""
+    shift = 2 * (max_depth - tile_level)
+    if shift <= 0:
+        return morton_key
+    return F.shiftright(morton_key, shift)

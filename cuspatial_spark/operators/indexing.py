@@ -1,0 +1,92 @@
+"""quadtree_on_points — partition-local quadtree construction.
+
+Reference: core/spatial/indexing.py:15-199 + detail/point_quadtree.cuh.
+Each input partition builds its own flat quadtree (the
+"partition-local quadtree refinement" of the target design); the
+returned DataFrame carries a part_id so callers can reassemble or
+join per-partition.  For the global coarse index use
+``cuspatial_spark.functions.morton_key_expr`` / ``tile_expr`` —
+pure-JVM columns that partition the data before any tree is built.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..kernels.quadtree import build_quadtree
+from .join import QUADTREE_SCHEMA
+
+POINT_ORDER_SCHEMA = StructType(
+    [
+        StructField("part_id", LongType(), False),
+        StructField("sorted_pos", LongType(), False),
+        StructField("point_index", LongType(), False),
+    ]
+)
+
+
+def quadtree_on_points(
+    points: DataFrame,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    scale: float,
+    max_depth: int,
+    max_size: int,
+    x: str = "x",
+    y: str = "y",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (key_to_point, quadtree) DataFrames.
+
+    key_to_point: (part_id, sorted_pos, point_index) — the stable
+    Morton-sort permutation per partition (reference `key_to_point`).
+    quadtree: (part_id, key, level, is_internal_node, length, offset).
+    """
+
+    def run_tree(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        _, qt = build_quadtree(
+            pdf[x].to_numpy(), pdf[y].to_numpy(),
+            x_min, x_max, y_min, y_max, scale, max_depth, max_size,
+        )
+        part = int(pdf["part_id"].iloc[0]) if "part_id" in pdf else 0
+        yield pd.DataFrame(
+            {
+                "part_id": np.full(len(qt.key), part, dtype=np.int64),
+                "key": qt.key.astype(np.int64),
+                "level": qt.level.astype(np.int64),
+                "is_internal_node": qt.is_internal_node,
+                "length": qt.length.astype(np.int64),
+                "offset": qt.offset.astype(np.int64),
+            }
+        )
+
+    def run_order(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        order, _ = build_quadtree(
+            pdf[x].to_numpy(), pdf[y].to_numpy(),
+            x_min, x_max, y_min, y_max, scale, max_depth, max_size,
+        )
+        part = int(pdf["part_id"].iloc[0]) if "part_id" in pdf else 0
+        yield pd.DataFrame(
+            {
+                "part_id": np.full(len(order), part, dtype=np.int64),
+                "sorted_pos": np.arange(len(order), dtype=np.int64),
+                "point_index": order.astype(np.int64),
+            }
+        )
+
+    return (
+        points.mapInPandas(run_order, schema=POINT_ORDER_SCHEMA),
+        points.mapInPandas(run_tree, schema=QUADTREE_SCHEMA),
+    )

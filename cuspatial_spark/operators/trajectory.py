@@ -1,0 +1,69 @@
+"""Trajectory operators — pure Window/groupBy built-ins.
+
+Reference: core/trajectory.py:20-236.  The reference's sort + segmented
+reduce maps exactly onto Spark's partitioned window functions; partial
+aggregation (map-side combine) comes free from Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def derive_trajectories(
+    df: DataFrame,
+    object_id: str = "object_id",
+    x: str = "x",
+    y: str = "y",
+    timestamp: str = "timestamp",
+) -> tuple[DataFrame, DataFrame]:
+    """Sort by (object_id, timestamp); return (sorted objects,
+    offsets) where offsets[i] = start row of trajectory i in the
+    sorted frame (reference core/trajectory.py:20-89)."""
+    objects = df.orderBy(object_id, timestamp)
+    w = Window.orderBy(object_id).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        df.groupBy(object_id)
+        .agg(F.count("*").alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .select(object_id, "offset")
+        .orderBy(object_id)
+    )
+    return objects, offsets
+
+
+def trajectory_distances_and_speeds(
+    df: DataFrame,
+    object_id: str = "object_id",
+    x: str = "x",
+    y: str = "y",
+    timestamp: str = "timestamp",
+) -> DataFrame:
+    """Per trajectory: total meters and m/s over the full time span.
+
+    Reference core/trajectory.py:171-236: consecutive-pair step
+    distances (km -> m via *1000); speed = total_m / total_seconds.
+    Implemented with lag windows + groupBy agg (shuffles once on
+    object_id; both window and agg share that partitioning).
+    """
+    w = Window.partitionBy(object_id).orderBy(timestamp)
+    dx = F.col(x) - F.lag(x).over(w)
+    dy = F.col(y) - F.lag(y).over(w)
+    step = F.sqrt(dx * dx + dy * dy)
+    ts_sec = F.col(timestamp).cast("double")
+    stepped = df.withColumn("__step", step).withColumn("__ts", ts_sec)
+    return (
+        stepped.groupBy(object_id)
+        .agg(
+            (F.sum("__step") * F.lit(1000.0)).alias("distance"),
+            (F.max("__ts") - F.min("__ts")).alias("__dur"),
+        )
+        .withColumn(
+            "speed",
+            F.when(F.col("__dur") > 0, F.col("distance") / F.col("__dur")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .select(object_id, "distance", "speed")
+    )

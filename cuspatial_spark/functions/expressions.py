@@ -76,9 +76,21 @@ def morton_key_expr(
 ) -> Column:
     """Full-depth Morton key per point (bigint column); out-of-AOI
     points get the sentinel max key, matching
-    detail/index/construction/phase_1.cuh:60-95."""
-    ux = F.floor((x - F.lit(float(x_min))) / F.lit(float(scale))).cast("bigint")
-    uy = F.floor((y - F.lit(float(y_min))) / F.lit(float(scale))).cast("bigint")
+    detail/index/construction/phase_1.cuh:60-95.
+
+    Unlike the reference kernel, in-AOI cell coordinates are clamped to
+    the 2^max_depth grid: the reference's minimum-scale rule
+    (range/((1<<depth)+2)) lets boundary cells overflow the grid, which
+    is harmless for its BFS but would strand boundary points in tiles
+    no bbox cover enumerates.  The clamp keeps every in-AOI point in a
+    coverable tile."""
+    cmax = F.lit((1 << max_depth) - 1)
+    ux = F.least(
+        F.floor((x - F.lit(float(x_min))) / F.lit(float(scale))).cast("bigint"), cmax
+    )
+    uy = F.least(
+        F.floor((y - F.lit(float(y_min))) / F.lit(float(scale))).cast("bigint"), cmax
+    )
     key = F.shiftleft(_dilate2_expr(uy), 1).bitwiseOR(_dilate2_expr(ux))
     sentinel = F.lit((1 << (2 * max_depth)) - 1)
     outside = (

@@ -51,7 +51,9 @@ def trajectory_distances_and_speeds(
     dx = F.col(x) - F.lag(x).over(w)
     dy = F.col(y) - F.lag(y).over(w)
     step = F.sqrt(dx * dx + dy * dy)
-    ts_sec = F.col(timestamp).cast("double")
+    # TIMESTAMP_NTZ can't cast straight to double; route via TIMESTAMP
+    # (session tz; keep it UTC for engine-portable epochs)
+    ts_sec = F.col(timestamp).cast("timestamp").cast("double")
     stepped = df.withColumn("__step", step).withColumn("__ts", ts_sec)
     return (
         stepped.groupBy(object_id)

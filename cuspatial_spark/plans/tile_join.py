@@ -231,10 +231,10 @@ def point_to_nearest_linestring_join(
             yield out
 
     refined = candidates.mapInPandas(refine, schema=mid_schema)
-    # final per-point min reduction (map-side partial agg; ties -> min id)
-    others = [c for c in keep if c != x and c != y]
+    # final per-point min reduction (map-side partial agg; ties -> min id);
+    # keep_columns must uniquely identify a point (e.g. include its id)
     return (
-        refined.groupBy(x, y, *others)
+        refined.groupBy(*keep)
         .agg(
             F.min(F.struct("distance", "linestring_id")).alias("__m"),
         )

@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k, queries broadcast; the
+  dot product is a left-folded ``F.aggregate`` over ``F.zip_with``
+  (JVM-side, deterministic order — engine-portable results).
+- ``ivf_topk``: IVF-style scale path — vectors bucketed to their
+  nearest centroid (vectorized pandas UDF), search probes only
+  ``nprobe`` buckets per query, turning the N x Q cross join into a
+  bucket equi-join.  Recall < 1 by design; the tradeoff knob is
+  (n_centroids, nprobe).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def cosine_expr(a, b) -> "F.Column":
+    """Cosine similarity between two array<float/double> columns,
+    deterministic left-to-right fold."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query side against
+    the full vector table; rank with a window over each query.
+    Returns (query_id, neighbor_id, score, rank)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col,
+        "neighbor_id",
+        cosine_expr(F.col("__v"), F.col("__qvec")).alias("score"),
+    ).where(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _assign_centroids(df: DataFrame, centroids: np.ndarray, vec_col: str, out: str) -> DataFrame:
+    """Nearest-centroid id per row, vectorized over Arrow batches."""
+    cts = centroids.astype(np.float64)
+
+    @F.pandas_udf(LongType())
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        m = m.astype(np.float64)
+        # (n, c) squared distances via ||x||^2 - 2 x.c + ||c||^2
+        d = (m * m).sum(1)[:, None] - 2.0 * m @ cts.T + (cts * cts).sum(1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int64))
+
+    return df.withColumn(out, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-bucketed ANN: vectors join only queries probing their
+    bucket.  ``centroids`` is a (C, dim) ndarray (e.g. sampled rows or
+    k-means run offline)."""
+    cts = centroids.astype(np.float64)
+
+    vec_b = _assign_centroids(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
+        cts, "__v", "bucket",
+    )
+
+    @F.pandas_udf("array<bigint>")
+    def probe_buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        d = (m * m).sum(1)[:, None] - 2.0 * m @ cts.T + (cts * cts).sum(1)[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("bucket", F.explode(probe_buckets(F.col("__qvec"))))
+
+    joined = vec_b.join(F.broadcast(q), on="bucket")
+    scored = joined.select(
+        query_id_col,
+        "neighbor_id",
+        cosine_expr(F.col("__v"), F.col("__qvec")).alias("score"),
+    ).where(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,93 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline metric: spatial-join pairs/sec of the distributed
+tile-filtered point-in-polygon join (the flagship pipeline), reported
+as `value` = total wall seconds across headline queries and
+`pairs_per_sec` alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "pip_join",
+    "tile_assign",
+    "nearest_linestring",
+    "spatial_window",
+    "trajectory_speeds",
+    "hausdorff",
+    "exact_dedup",
+    "minhash",
+    "lsh_pairs",
+    "token_count",
+    "quality",
+    "ann_topk",
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("cuspatial_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS) * 2, 8)))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "250000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: spin up Python workers / JIT / parquet footer caches so
+    # per-query timings measure the queries, not session cold start
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    spark.range(1000).mapInPandas(lambda it: it, schema="id: long").count()
+
+    qs = E.queries()
+    timings = {}
+    pair_count = 0
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "pip_join":
+            pair_count = n
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "pairs_per_sec": round(pair_count / timings["pip_join"], 1) if timings.get("pip_join") else None,
+        "pip_join_pairs": pair_count,
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

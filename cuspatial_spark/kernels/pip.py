@@ -50,6 +50,47 @@ def _ring_segments(ring_offsets: np.ndarray, px: np.ndarray, py: np.ndarray):
     return ax, ay, bx, by, seg_ring
 
 
+def _pip_one_polygon(
+    tx: np.ndarray,
+    ty: np.ndarray,
+    ring_offsets: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+) -> np.ndarray:
+    """All points vs ONE polygon (rings given by ring_offsets into
+    px/py).  Segment-loop-outer, point-vector-inner: accumulators stay
+    in cache, so the hot path is compute-bound rather than
+    memory-bandwidth-bound (crossing parity is order-independent, so
+    this matches the reference's per-point segment loop exactly)."""
+    n = len(tx)
+    crossings = np.zeros(n, dtype=bool)
+    on_edge = np.zeros(n, dtype=bool)
+    zero = np.zeros(1, dtype=tx.dtype)
+    for r in range(len(ring_offsets) - 1):
+        s, e = int(ring_offsets[r]), int(ring_offsets[r + 1])
+        for i in range(s, e):
+            prev = e - 1 if i == s else i - 1
+            ax, ay = px[i], py[i]
+            bx, by = px[prev], py[prev]
+            run = bx - ax
+            rise = by - ay
+            if float_equal(np.asarray([run]), zero)[0] and float_equal(
+                np.asarray([rise]), zero
+            )[0]:
+                continue
+            rise_to_point = ty - ay
+            run_to_point = tx - ax
+            collinear = float_equal(run * rise_to_point, run_to_point * rise)
+            if collinear.any():
+                minx, maxx = (ax, bx) if ax <= bx else (bx, ax)
+                on_edge |= collinear & (minx <= tx) & (tx <= maxx)
+            y0 = by > ty
+            y1 = ay > ty
+            flip = (y0 != y1) & (((tx - ax) * rise < run * rise_to_point) != y1)
+            crossings ^= flip
+    return crossings & ~on_edge
+
+
 def point_in_polygon_pairs(
     tx: np.ndarray,
     ty: np.ndarray,
@@ -61,8 +102,10 @@ def point_in_polygon_pairs(
 ) -> np.ndarray:
     """Test pair i = (point (tx[i], ty[i]), polygon pair_poly[i]).
 
-    Returns a bool array of len(tx).  Vectorized by expanding each pair to
-    all segments of its polygon's rings and reducing with bincount.
+    Returns a bool array of len(tx).  Groups pairs by polygon and runs
+    the cache-friendly single-polygon kernel per group (the polygon
+    layer in a tile join is broadcast-small, so the Python-level group
+    loop is over at most a few hundred polygons per batch).
     """
     tx = np.asarray(tx)
     if tx.dtype != np.float32:
@@ -77,47 +120,21 @@ def point_in_polygon_pairs(
     py = np.asarray(py).astype(tx.dtype, copy=False)
     pair_poly = np.asarray(pair_poly, dtype=np.int64)
 
-    ax, ay, bx, by, seg_ring = _ring_segments(ring_offsets, px, py)
-    # vertex count per polygon (= segment count incl. wrap segments)
-    poly_vert_start = ring_offsets[poly_offsets[:-1]]
-    poly_vert_end = ring_offsets[poly_offsets[1:]]
-    poly_nseg = poly_vert_end - poly_vert_start
-
-    # expand pair space -> (pair, segment) space
-    reps = poly_nseg[pair_poly]
-    pair_id = np.repeat(np.arange(n_pairs, dtype=np.int64), reps)
-    # segment index within the flat vertex space for each expansion slot
-    seg_local = np.arange(len(pair_id), dtype=np.int64)
-    seg_start = np.concatenate(([0], np.cumsum(reps)))
-    seg_local = seg_local - np.repeat(seg_start[:-1], reps)
-    seg_idx = poly_vert_start[pair_poly][pair_id] + seg_local
-
-    sax, say = ax[seg_idx], ay[seg_idx]
-    sbx, sby = bx[seg_idx], by[seg_idx]
-    ptx, pty = tx[pair_id], ty[pair_id]
-
-    run = sbx - sax
-    rise = sby - say
-    zero = np.zeros(1, dtype=tx.dtype)
-    degenerate = float_equal(run, zero) & float_equal(rise, zero)
-
-    rise_to_point = pty - say
-    run_to_point = ptx - sax
-
-    collinear = float_equal(run * rise_to_point, run_to_point * rise)
-    minx = np.minimum(sax, sbx)
-    maxx = np.maximum(sax, sbx)
-    on_edge = collinear & (minx <= ptx) & (ptx <= maxx) & ~degenerate
-
-    y0 = sby > pty  # previous vertex flag
-    y1 = say > pty  # current vertex flag
-    lhs = (ptx - sax) * rise
-    rhs = run * rise_to_point
-    crossing = (~degenerate) & (y0 != y1) & ((lhs < rhs) != y1)
-
-    crossings = np.bincount(pair_id[crossing], minlength=n_pairs)
-    edge_hits = np.bincount(pair_id[on_edge], minlength=n_pairs)
-    return ((crossings & 1) == 1) & (edge_hits == 0)
+    out = np.zeros(n_pairs, dtype=bool)
+    order = np.argsort(pair_poly, kind="stable")
+    sorted_poly = pair_poly[order]
+    group_starts = np.concatenate(
+        ([0], np.nonzero(np.diff(sorted_poly))[0] + 1, [n_pairs])
+    )
+    for g in range(len(group_starts) - 1):
+        s, e = group_starts[g], group_starts[g + 1]
+        idx = order[s:e]
+        p = sorted_poly[s]
+        r0, r1 = poly_offsets[p], poly_offsets[p + 1]
+        out[idx] = _pip_one_polygon(
+            tx[idx], ty[idx], ring_offsets[r0:r1 + 1], px, py
+        )
+    return out
 
 
 def point_in_polygon_bits(
@@ -138,17 +155,17 @@ def point_in_polygon_bits(
     n_polys = len(poly_offsets) - 1
     if n_polys > 31:
         raise ValueError("point_in_polygon supports at most 31 polygons")
-    n = len(tx)
-    out = np.zeros(n, dtype=np.int32)
+    tx = np.asarray(tx)
+    if tx.dtype != np.float32:
+        tx = tx.astype(np.float64, copy=False)
+    ty = np.asarray(ty).astype(tx.dtype, copy=False)
+    poly_offsets = np.asarray(poly_offsets, dtype=np.int64)
+    ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    px = np.asarray(px).astype(tx.dtype, copy=False)
+    py = np.asarray(py).astype(tx.dtype, copy=False)
+    out = np.zeros(len(tx), dtype=np.int32)
     for j in range(n_polys):
-        hits = point_in_polygon_pairs(
-            tx,
-            ty,
-            np.full(n, j, dtype=np.int64),
-            poly_offsets,
-            ring_offsets,
-            px,
-            py,
-        )
+        r0, r1 = poly_offsets[j], poly_offsets[j + 1]
+        hits = _pip_one_polygon(tx, ty, ring_offsets[r0:r1 + 1], px, py)
         out |= hits.astype(np.int32) << np.int32(j)
     return out

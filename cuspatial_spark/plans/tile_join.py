@@ -100,6 +100,62 @@ def tiles_covering_bboxes(
 PIP_JOIN_SCHEMA_SUFFIX = [StructField("polygon_id", LongType(), False)]
 
 
+def _segments_map_expr(polygons: PolygonArrays):
+    """Broadcast the polygon layer as a literal Catalyst map
+    ``poly_idx -> array<struct<ax,ay,bx,by>>`` (degenerate segments
+    dropped at build time).  Small layers only — the expression tree
+    grows with total segment count."""
+    keys, vals = [], []
+    po, ro = polygons.part_offsets, polygons.ring_offsets
+    px, py = polygons.x, polygons.y
+    for p in range(len(polygons)):
+        segs = []
+        for r in range(po[p], po[p + 1]):
+            s, e = int(ro[r]), int(ro[r + 1])
+            for i in range(s, e):
+                prev = e - 1 if i == s else i - 1
+                ax, ay, bx, by = px[i], py[i], px[prev], py[prev]
+                if ax == bx and ay == by:
+                    continue
+                segs.append(
+                    F.struct(
+                        F.lit(float(ax)).alias("ax"), F.lit(float(ay)).alias("ay"),
+                        F.lit(float(bx)).alias("bx"), F.lit(float(by)).alias("by"),
+                    )
+                )
+        keys.append(F.lit(int(p)))
+        vals.append(F.array(*segs))
+    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+
+
+def _pip_jvm_hit_expr(seg_map, poly_idx, x, y):
+    """Ray-cast crossings parity as a pure JVM expression (same
+    formula/order as kernels/pip.py and the SQL oracle).  Runs inside
+    the JVM with zero Python — this is the fast path that sidesteps
+    the serialized Arrow/Python boundary.
+
+    Difference vs the kernel: no ULP on-edge exclusion — a point lying
+    exactly ON a polygon edge gets parity-dependent membership instead
+    of a guaranteed False.  Measure-zero for real data; use
+    refine='kernel' when exact edge semantics matter.
+    """
+    segs = F.element_at(seg_map, poly_idx)
+    crossings = F.aggregate(
+        segs,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            ((s["ay"] > y) != (s["by"] > y))
+            & (
+                ((x - s["ax"]) * (s["by"] - s["ay"]) < (s["bx"] - s["ax"]) * (y - s["ay"]))
+                != (s["ay"] > y)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return crossings % 2 == 1
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: PolygonArrays,
@@ -113,6 +169,7 @@ def point_in_polygon_join(
     max_depth: int = 15,
     tile_level: int = 8,
     keep_columns: list[str] | None = None,
+    refine: str = "auto",
 ) -> DataFrame:
     """Distributed containment join: returns the selected point columns
     plus ``polygon_id`` for every (point, polygon) containment pair.
@@ -122,10 +179,18 @@ def point_in_polygon_join(
     quadtree_on_points + join_quadtree_and_bounding_boxes +
     quadtree_point_in_polygon, with the tile grid playing the role of
     the quadtree's leaf quadrants.
+
+    refine: 'jvm' evaluates the ray-cast as a Catalyst expression over
+    a broadcast segment map (whole pipeline stays codegen, no Python —
+    the fast path); 'kernel' uses the Arrow-batched NumPy kernel (exact
+    reference edge semantics); 'auto' picks 'jvm' for layers with
+    <= 20k segments.
     """
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
     keep = keep_columns if keep_columns is not None else [c for c in points.columns]
+    if refine == "auto":
+        refine = "jvm" if len(polygons.x) <= 20000 else "kernel"
 
     spark = points.sparkSession
     minx, miny, maxx, maxy = polygons.bounding_boxes()
@@ -140,7 +205,23 @@ def point_in_polygon_join(
     pts = assign_tiles(
         points, x, y, x_min, x_max, y_min, y_max, scale, max_depth, tile_level
     )
-    candidates = pts.join(F.broadcast(poly_tiles), on="tile", how="inner")
+    # project to only what the refine needs before the Arrow boundary
+    need = list(dict.fromkeys(keep + [x, y]))
+    candidates = pts.join(F.broadcast(poly_tiles), on="tile", how="inner").select(
+        *need, "__poly_idx"
+    )
+
+    if refine == "jvm":
+        seg_map = _segments_map_expr(polygons)
+        id_map = F.map_from_arrays(
+            F.array(*[F.lit(int(i)) for i in range(len(polygons))]),
+            F.array(*[F.lit(int(v)) for v in polygons.ids]),
+        )
+        hit = _pip_jvm_hit_expr(seg_map, F.col("__poly_idx"), F.col(x), F.col(y))
+        return (
+            candidates.where(hit)
+            .select(*keep, F.element_at(id_map, F.col("__poly_idx")).alias("polygon_id"))
+        )
 
     out_schema = StructType(
         [f for f in points.schema.fields if f.name in keep] + PIP_JOIN_SCHEMA_SUFFIX
@@ -148,7 +229,7 @@ def point_in_polygon_join(
     poly_offsets, ring_offsets = polygons.part_offsets, polygons.ring_offsets
     px, py, pids = polygons.x, polygons.y, polygons.ids
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def refine_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -161,7 +242,7 @@ def point_in_polygon_join(
             out["polygon_id"] = pids[pdf["__poly_idx"].to_numpy()[hits]]
             yield out
 
-    return candidates.mapInPandas(refine, schema=out_schema)
+    return candidates.mapInPandas(refine_fn, schema=out_schema)
 
 
 def point_to_nearest_linestring_join(
@@ -204,7 +285,10 @@ def point_to_nearest_linestring_join(
     pts = assign_tiles(
         points, x, y, x_min, x_max, y_min, y_max, scale, max_depth, tile_level
     )
-    candidates = pts.join(F.broadcast(line_tiles), on="tile", how="inner")
+    need = list(dict.fromkeys(keep + [x, y]))
+    candidates = pts.join(F.broadcast(line_tiles), on="tile", how="inner").select(
+        *need, "__line_idx"
+    )
 
     mid_schema = StructType(
         [f for f in points.schema.fields if f.name in keep]

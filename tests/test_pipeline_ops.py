@@ -1,0 +1,299 @@
+"""Tests for the training-data pipeline layer: dedup, similarity,
+text analysis, multimodal plumbing, streaming, checkpoint/resume."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "the quick brown fox jumps over a lazy dog",  # near dup
+                "el perro de la casa es muy grande y la gata",
+                "der hund und die katze sind in der wohnung",
+                "completely different content about spark engines",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+class TestDedup:
+    def test_exact_duplicates(self, spark, docs):
+        from cuspatial_spark.textops import exact_duplicates
+
+        got = exact_duplicates(docs).orderBy("doc_id").toPandas()
+        assert list(got["canonical_id"]) == [0, 0, 2, 3, 4, 5]
+
+    def test_minhash_identical_docs_same_signature(self, spark, docs):
+        from cuspatial_spark.textops import minhash_signatures
+
+        sig = minhash_signatures(docs, num_hashes=4).orderBy("doc_id").toPandas()
+        assert (sig.iloc[0, 1:] == sig.iloc[1, 1:]).all()
+        assert not (sig.iloc[0, 1:] == sig.iloc[5, 1:]).all()
+
+    def test_lsh_finds_near_dups(self, spark, docs):
+        from cuspatial_spark.textops import lsh_candidate_pairs
+
+        pairs = lsh_candidate_pairs(docs, num_hashes=4, band_size=2).toPandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (0, 1) in got  # exact dups always collide
+        assert (0, 2) in got or (1, 2) in got  # near dup should band-collide
+        assert (0, 5) not in got
+
+    def test_ngram_jaccard(self, spark, docs):
+        from cuspatial_spark.textops import ngram_jaccard_pairs
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [0, 0], "id_b": [1, 5]})
+        )
+        got = ngram_jaccard_pairs(docs, pairs).orderBy("id_b").toPandas()
+        assert got["jaccard"].iloc[0] == 1.0  # identical text
+        assert got["jaccard"].iloc[1] < 0.1
+
+    def test_simhash_hamming(self, spark, docs):
+        from cuspatial_spark.textops import simhash
+
+        got = simhash(docs).orderBy("doc_id").toPandas()
+        h = got["simhash"].to_numpy(dtype=np.int64)
+        assert h[0] == h[1]  # identical docs
+        d_near = bin(int(h[0]) ^ int(h[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        d_far = bin(int(h[0]) ^ int(h[5]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert d_near < d_far
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_numpy(self, spark):
+        from cuspatial_spark.similarity import brute_force_topk
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(50, 16)).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": range(50), "embedding": [v.tolist() for v in vecs]}
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            brute_force_topk(df, df.where(F.col("vec_id") < 3), k=4)
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        # numpy oracle
+        v = vecs.astype(np.float64)
+        sims = (v @ v.T) / (
+            np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+        )
+        for q in range(3):
+            s = sims[q].copy()
+            s[q] = -np.inf
+            top = np.argsort(-s, kind="stable")[:4]
+            got_q = got[got["query_id"] == q]["neighbor_id"].to_numpy()
+            np.testing.assert_array_equal(got_q, top)
+
+    def test_ivf_topk_recall(self, spark):
+        from cuspatial_spark.similarity import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(4)
+        # clustered vectors so IVF buckets are meaningful
+        centers = rng.normal(size=(4, 16)) * 5
+        vecs = np.concatenate(
+            [c + rng.normal(size=(25, 16)) * 0.5 for c in centers]
+        ).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": range(100), "embedding": [v.tolist() for v in vecs]}
+        )
+        df = spark.createDataFrame(pdf)
+        q = df.where(F.col("vec_id") < 5)
+        exact = brute_force_topk(df, q, k=3).toPandas()
+        approx = ivf_topk(df, q, centroids=centers, k=3, nprobe=2).toPandas()
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.8
+
+
+class TestAnalysis:
+    def test_language_id(self, spark, docs):
+        from cuspatial_spark.textops import language_id
+
+        got = language_id(docs).orderBy("doc_id").toPandas()
+        assert got["lang_pred"].iloc[0] == "en"
+        assert got["lang_pred"].iloc[3] == "es"
+        assert got["lang_pred"].iloc[4] == "de"
+
+    def test_token_count(self, spark, docs):
+        from cuspatial_spark.textops import token_count
+
+        got = token_count(docs).orderBy("doc_id").toPandas()
+        assert got["n_tokens"].iloc[0] == 9
+
+    def test_fingerprint_robust_to_identity(self, spark, docs):
+        from cuspatial_spark.textops import document_fingerprint
+
+        got = document_fingerprint(docs).orderBy("doc_id").toPandas()
+        assert got["fingerprint"].iloc[0] == hashlib.md5(
+            b"the quick brown fox jumps over the lazy dog"
+        ).hexdigest()
+        assert got["fingerprint"].iloc[0] == got["fingerprint"].iloc[1]
+
+
+class TestMultimodal:
+    def test_metadata_and_decode(self, spark):
+        from cuspatial_spark.multimodal import binary_metadata, decode_features
+
+        pdf = pd.DataFrame(
+            {
+                "id": [0, 1],
+                "payload": [b"\x89PNG\r\n fake image bytes", b"<html><body>x</body></html>"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        meta = binary_metadata(df).orderBy("id").toPandas()
+        assert list(meta["payload_format"]) == ["png", "html"]
+        feats = decode_features(df).toPandas()
+        assert len(feats) == 2
+        assert (feats["n_bytes"] == meta["payload_bytes"]).all()
+
+    def test_decode_stub_raises_on_empty(self):
+        from cuspatial_spark.multimodal import _decode_stub
+
+        with pytest.raises(ValueError):
+            _decode_stub(b"")
+
+
+class TestShuffleJoin:
+    def test_matches_broadcast_path(self, spark):
+        from cuspatial_spark.plans import point_in_polygon_join
+        from cuspatial_spark.plans.shuffle_join import point_in_polygon_join_shuffle
+        from tests import golden_fixtures as G
+        from cuspatial_spark.geometry import PolygonArrays
+
+        xy = np.empty(2 * len(G.SMALL_POLY_XS))
+        xy[::2] = G.SMALL_POLY_XS
+        xy[1::2] = G.SMALL_POLY_YS
+        polys = PolygonArrays.from_polygons_xy(xy, G.SMALL_RING_OFFSETS, G.SMALL_POLY_OFFSETS)
+
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "point_id": np.arange(71),
+                    "x": np.asarray(G.SMALL_POINTS_X),
+                    "y": np.asarray(G.SMALL_POINTS_Y),
+                }
+            )
+        ).repartition(4)
+
+        # polygon layer as a DataFrame (per-feature rows)
+        rows = []
+        ro = np.asarray(G.SMALL_RING_OFFSETS)
+        for p in range(4):
+            s, e = ro[p], ro[p + 1]
+            seg_xy = np.empty(2 * (e - s))
+            seg_xy[::2] = np.asarray(G.SMALL_POLY_XS)[s:e]
+            seg_xy[1::2] = np.asarray(G.SMALL_POLY_YS)[s:e]
+            rows.append((p, [0, int(e - s)], seg_xy.tolist()))
+        poly_df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["polygon_id", "ring_offsets", "xy"])
+        )
+
+        kw = dict(x_min=0, x_max=8, y_min=0, y_max=8, max_depth=8, tile_level=3)
+        bcast = point_in_polygon_join(pts, polys, keep_columns=["point_id"], **kw).toPandas()
+        for salt in (0, 4):
+            shuf = point_in_polygon_join_shuffle(
+                pts, poly_df, keep_columns=["point_id"], salt=salt, **kw
+            ).toPandas()
+            assert set(zip(shuf["polygon_id"], shuf["point_id"])) == set(
+                zip(bcast["polygon_id"], bcast["point_id"])
+            )
+
+
+class TestStreaming:
+    def test_tile_counts_and_pip(self, spark, tmp_path):
+        from cuspatial_spark.streaming import streaming_pip_join, streaming_tile_counts
+        from cuspatial_spark.geometry import PolygonArrays
+        from tests import golden_fixtures as G
+
+        # write a small parquet source then stream it with availableNow
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(71),
+                "x": np.asarray(G.SMALL_POINTS_X),
+                "y": np.asarray(G.SMALL_POINTS_Y),
+                "ts": pd.to_datetime(np.arange(71), unit="s"),
+            }
+        )
+        src = str(tmp_path / "stream_src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = spark.readStream.schema(
+            "point_id bigint, x double, y double, ts timestamp"
+        ).parquet(src)
+
+        counts = streaming_tile_counts(
+            stream, "x", "y", "ts", 0, 8, 0, 8, 1.0, 3, 1, window="1 minute"
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("tile_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT sum(n_points) AS n FROM tile_counts").collect()
+        assert got[0]["n"] == 71
+
+        xy = np.empty(2 * len(G.SMALL_POLY_XS))
+        xy[::2] = G.SMALL_POLY_XS
+        xy[1::2] = G.SMALL_POLY_YS
+        polys = PolygonArrays.from_polygons_xy(xy, G.SMALL_RING_OFFSETS, G.SMALL_POLY_OFFSETS)
+        joined = streaming_pip_join(
+            stream, polys, x_min=0, x_max=8, y_min=0, y_max=8,
+            max_depth=8, tile_level=3, keep_columns=["point_id"],
+        )
+        q2 = (
+            joined.writeStream.format("memory")
+            .queryName("stream_pip")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(60)
+        n = spark.sql("SELECT count(*) AS n FROM stream_pip").collect()[0]["n"]
+        assert n == 19  # golden pair count
+
+
+class TestCheckpointedJob:
+    def test_resume_skips_completed(self, spark, tmp_path):
+        from cuspatial_spark.ops import CheckpointedJob
+
+        df = spark.range(1000).withColumn("v", F.col("id") * 2)
+        out = str(tmp_path / "job_out")
+        job = CheckpointedJob(spark, out, key_col="id", n_buckets=4)
+        r1 = job.run(df, lambda d: d.where(F.col("v") % 4 == 0))
+        assert len(r1["ran"]) == 4
+        r2 = job.run(df, lambda d: d.where(F.col("v") % 4 == 0))
+        assert r2["ran"] == [] and r2["skipped"] == [0, 1, 2, 3]
+        total = spark.read.parquet(f"{out}/bucket=*").count()
+        assert total == 500
+
+    def test_kernel_metrics(self, spark, tmp_path):
+        from cuspatial_spark.ops import KernelMetrics
+
+        m = KernelMetrics.create(spark)
+
+        def double(batches):
+            for pdf in batches:
+                yield pdf
+
+        df = spark.range(100).mapInPandas(m.wrap(double), schema="id: long")
+        assert df.count() == 100
+        snap = m.snapshot()
+        assert snap["rows_in"] == 100 and snap["rows_out"] == 100

@@ -1,0 +1,144 @@
+"""N -> 4N scaling-efficiency evidence (BASELINE.json north_rule).
+
+Runs the IDENTICAL flagship job — distributed tile-filtered
+point-in-polygon join over a cached geotagged-pages table — at two
+local parallelism levels (default local[8] vs local[32]) in separate
+JVMs.  The input DataFrame is materialized (cached) before timing, so
+the measurement isolates the join engine (tile assignment + broadcast
+filter + vectorized PIP refine), which is what must scale on a real
+cluster where the scan is storage-bound.
+
+Efficiency definition (cores n -> m, m = 4n):
+    eff = (rate_m / rate_n) / (m / n)  =  T_n / (4 * T_m)
+
+Usage:
+    python tools/scaling_bench.py            # parent: runs both, prints JSON
+    python tools/scaling_bench.py --child 8  # child mode (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "256000000"))
+GRID = int(os.environ.get("SCALING_POLY_GRID", "5"))  # GRID^2 x 4 polygons
+LEVELS = tuple(int(v) for v in os.environ.get('SCALING_LEVELS', '8,32').split(','))
+AOI = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0)
+
+
+def _scaled_polygons():
+    """The 4-polygon reference layer shrunk and replicated on a
+    GRID x GRID lattice -> 4*GRID^2 polygons with modest overlap
+    (candidate factor a few per point, like a real admin-boundary
+    layer)."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from cuspatial_spark.geometry import PolygonArrays
+
+    po = np.asarray(E.POLY_OFFSETS)
+    ro = np.asarray(E.RING_OFFSETS)
+    # shrink the 19-vertex 4-polygon layer into a [0, 1.6)^2 stamp
+    xs = np.asarray(E.POLY_X) / 5.0
+    ys = np.asarray(E.POLY_Y) / 5.0
+    all_po, all_ro, all_x, all_y = [0], [0], [], []
+    for gi in range(GRID):
+        for gj in range(GRID):
+            dx = gi * (8.0 / GRID)
+            dy = gj * (8.0 / GRID)
+            for p in range(len(po) - 1):
+                all_po.append(all_po[-1] + (po[p + 1] - po[p]))
+            for r in range(len(ro) - 1):
+                all_ro.append(all_ro[-1] + (ro[r + 1] - ro[r]))
+            all_x.append(xs + dx)
+            all_y.append(ys + dy)
+    return PolygonArrays(
+        np.asarray(all_po), np.asarray(all_ro),
+        np.concatenate(all_x), np.concatenate(all_y),
+    )
+
+
+def _points(spark, n, partitions):
+    """Geotagged pages with pure-arithmetic (cheap, codegen) geotags;
+    page_id stands in for the url key."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, n, 1, partitions)
+    return df.select(
+        F.col("id").alias("page_id"),
+        ((F.col("id") * 2654435761 % 104729) / 104729.0 * 8.0).alias("x"),
+        ((F.col("id") * 97003 % 999983) / 999983.0 * 8.0).alias("y"),
+    )
+
+
+def run_child(cpus: int) -> None:
+    from pyspark.sql import SparkSession
+
+    from cuspatial_spark.plans import point_in_polygon_join
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "250000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    polys = _scaled_polygons()
+    pts = _points(spark, N_PAGES, partitions=cpus * 4).cache()
+    pts.count()  # materialize input before timing
+
+    job = point_in_polygon_join(
+        pts, polys, **AOI, max_depth=12, tile_level=5, keep_columns=["page_id"],
+    )
+    job.count()  # warmup: python workers, codegen, broadcast
+    runs = []
+    pairs = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pairs = job.count()
+        runs.append(time.perf_counter() - t0)
+    dt = min(runs)
+    print(json.dumps({"cpus": cpus, "seconds": round(dt, 3),
+                      "all_runs": [round(r, 3) for r in runs], "pairs": pairs,
+                      "rows": N_PAGES, "rows_per_sec": round(N_PAGES / dt, 1),
+                      "pairs_per_sec": round(pairs / dt, 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        run_child(int(sys.argv[2]))
+        return
+    results = {}
+    for cpus in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    n, m = min(LEVELS), max(LEVELS)
+    eff = results[n]["seconds"] / ((m / n) * results[m]["seconds"])
+    print(json.dumps({
+        "job": "tile-filtered point-in-polygon join (cached input)",
+        "rows": N_PAGES,
+        f"local[{n}]": results[n],
+        f"local[{m}]": results[m],
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">= 0.8",
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

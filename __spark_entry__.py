@@ -99,13 +99,13 @@ def _segments_values(offsets=None) -> str:
 
 
 def _line_segments_values() -> str:
-    """(line_id, ax, ay, bx, by) consecutive-vertex segments."""
+    """(line_id, seg_id, ax, ay, bx, by) consecutive-vertex segments."""
     ro = np.asarray(RING_OFFSETS)
     rows = []
     for li in range(len(ro) - 1):
-        for i in range(ro[li], ro[li + 1] - 1):
+        for k, i in enumerate(range(ro[li], ro[li + 1] - 1)):
             rows.append(
-                f"({li}, CAST({POLY_X[i]!r} AS DOUBLE), CAST({POLY_Y[i]!r} AS DOUBLE), "
+                f"({li}, {k}, CAST({POLY_X[i]!r} AS DOUBLE), CAST({POLY_Y[i]!r} AS DOUBLE), "
                 f"CAST({POLY_X[i+1]!r} AS DOUBLE), CAST({POLY_Y[i+1]!r} AS DOUBLE))"
             )
     return ",\n".join(rows)
@@ -317,6 +317,44 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_point_polygon_distance(spark, sf_dir):
+    from cuspatial_spark.operators.pairwise import pairwise_point_polygon_distance
+
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y", (F.col("event_id") % 4).alias("polygon_index")
+    )
+    return pairwise_point_polygon_distance(pts, _polygons()).select(
+        "event_id", "distance"
+    )
+
+
+def q_nearest_points(spark, sf_dir):
+    from cuspatial_spark.operators.pairwise import (
+        pairwise_point_linestring_nearest_points,
+    )
+
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y", (F.col("event_id") % 4).alias("linestring_index")
+    )
+    return pairwise_point_linestring_nearest_points(pts, _linestrings()).select(
+        "event_id", "segment_id", "nearest_x", "nearest_y"
+    )
+
+
+def q_linestring_distance(spark, sf_dir):
+    from cuspatial_spark.operators.pairwise import pairwise_linestring_distance
+
+    lines = _linestrings()
+    pts = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % 4).alias("lhs_index"),
+        ((F.col("event_id") + 1) % 4).alias("rhs_index"),
+    )
+    return pairwise_linestring_distance(pts, lines, lines).select(
+        "event_id", "distance"
+    )
+
+
 def q_binary_metadata(spark, sf_dir):
     from cuspatial_spark.multimodal import binary_metadata
 
@@ -356,50 +394,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "binary_metadata": q_binary_metadata,
+        "point_polygon_distance": q_point_polygon_distance,
+        "nearest_points": q_nearest_points,
+        "linestring_distance": q_linestring_distance,
     }
 
 
 # ---------------------------------------------------------------- oracles
 
 
-def _crossing_sql() -> str:
-    """Ray-cast crossing indicator for a (point p, segment s) row —
+def _crossing_sql(px: str = "p.x", py: str = "p.y", s: str = "s") -> str:
+    """Ray-cast crossing indicator for a (point, segment) row —
     identical formula/order to kernels/pip.py."""
     return (
-        "CASE WHEN (s.ay > p.y) != (s.by > p.y) "
-        "AND (((p.x - s.ax) * (s.by - s.ay)) < ((s.bx - s.ax) * (p.y - s.ay))) "
-        "!= (s.ay > p.y) THEN 1 ELSE 0 END"
+        f"CASE WHEN ({s}.ay > {py}) != ({s}.by > {py}) "
+        f"AND ((({px} - {s}.ax) * ({s}.by - {s}.ay)) < (({s}.bx - {s}.ax) * ({py} - {s}.ay))) "
+        f"!= ({s}.ay > {py}) THEN 1 ELSE 0 END"
+    )
+
+
+def _psd_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """Squared point-to-segment distance (projection-clamped), same op
+    order as kernels/segment.py, fully parameterized."""
+    l2 = f"(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))"
+    r = f"(({px} - {ax}) * ({bx} - {ax}) + ({py} - {ay}) * ({by} - {ay}))"
+    dac = f"(({px} - {ax}) * ({px} - {ax}) + ({py} - {ay}) * ({py} - {ay}))"
+    dbc = f"(({px} - {bx}) * ({px} - {bx}) + ({py} - {by}) * ({py} - {by}))"
+    qx = f"({ax} + {r} / {l2} * ({bx} - {ax}))"
+    qy = f"({ay} + {r} / {l2} * ({by} - {ay}))"
+    din = f"(({px} - {qx}) * ({px} - {qx}) + ({py} - {qy}) * ({py} - {qy}))"
+    return (
+        f"CASE WHEN {l2} = 0 THEN {dac} "
+        f"WHEN {r} <= 0 OR {r} >= {l2} THEN LEAST({dac}, {dbc}) "
+        f"ELSE {din} END"
     )
 
 
 def _seg_dist_sql() -> str:
-    """Squared point-to-segment distance (projection-clamped), same
-    op order as kernels/segment.py."""
-    return """
-      CASE
-        WHEN ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)) = 0
-          THEN (p.x - s.ax) * (p.x - s.ax) + (p.y - s.ay) * (p.y - s.ay)
-        WHEN ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay)) <= 0
-          OR ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
-             >= ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
-          THEN LEAST(
-            (p.x - s.ax) * (p.x - s.ax) + (p.y - s.ay) * (p.y - s.ay),
-            (p.x - s.bx) * (p.x - s.bx) + (p.y - s.by) * (p.y - s.by))
-        ELSE
-          (p.x - (s.ax + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
-                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
-                 * (s.bx - s.ax)))
-          * (p.x - (s.ax + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
-                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
-                 * (s.bx - s.ax)))
-          + (p.y - (s.ay + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
-                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
-                 * (s.by - s.ay)))
-          * (p.y - (s.ay + ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
-                 / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
-                 * (s.by - s.ay)))
-      END
-    """
+    """Squared point-to-segment distance for (p, s)-aliased rows."""
+    return _psd_sql("p.x", "p.y", "s.ax", "s.ay", "s.bx", "s.by")
 
 
 _SHINGLE_SQL = """
@@ -435,7 +468,7 @@ def _norm_sql(a: str, dim: int = 64) -> str:
 def oracle_sql() -> dict[str, str]:
     pts = f"pts AS ({POINTS_SQL})"
     segs = f"segs(poly_id, ax, ay, bx, by) AS (VALUES {_segments_values()})"
-    lsegs = f"lsegs(line_id, ax, ay, bx, by) AS (VALUES {_line_segments_values()})"
+    lsegs = f"lsegs(line_id, seg_id, ax, ay, bx, by) AS (VALUES {_line_segments_values()})"
 
     lang_scores = []
     from cuspatial_spark.textops.analysis import LANG_MARKERS
@@ -666,6 +699,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(s, 6) AS score
             FROM ranked WHERE rank <= 5
+        """,
+        "point_polygon_distance": f"""
+            WITH {pts}, {segs},
+            cand AS (
+              SELECT p.event_id, p.x, p.y, s.ax, s.ay, s.bx, s.by
+              FROM pts p JOIN segs s ON s.poly_id = p.event_id % 4
+            ),
+            agg AS (
+              SELECT event_id,
+                     sum({_crossing_sql('x', 'y', 'cand')}) AS ncross,
+                     -- kernel ring segments run prev->current; segs VALUES
+                     -- store (current, prev), so swap endpoints for bit parity
+                     min({_psd_sql('x', 'y', 'cand.bx', 'cand.by', 'cand.ax', 'cand.ay')}) AS mind2
+              FROM cand
+              GROUP BY event_id, x, y
+            )
+            SELECT event_id,
+                   CASE WHEN ncross % 2 = 1 THEN 0.0 ELSE sqrt(mind2) END AS distance
+            FROM agg
+        """,
+        "nearest_points": f"""
+            WITH {pts}, {lsegs},
+            cand AS (
+              SELECT p.event_id, p.x, p.y, s.seg_id, s.ax, s.ay, s.bx, s.by,
+                     LEAST(GREATEST(
+                       ((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay))
+                       / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)), 0.0), 1.0) AS t
+              FROM pts p JOIN lsegs s ON s.line_id = p.event_id % 4
+            ),
+            proj AS (
+              SELECT event_id, seg_id,
+                     (ax + t * (bx - ax)) AS qx, (ay + t * (by - ay)) AS qy,
+                     (x - (ax + t * (bx - ax))) * (x - (ax + t * (bx - ax)))
+                   + (y - (ay + t * (by - ay))) * (y - (ay + t * (by - ay))) AS d2
+              FROM cand
+            ),
+            ranked AS (
+              SELECT event_id, seg_id, qx, qy,
+                     row_number() OVER (PARTITION BY event_id ORDER BY d2, seg_id) AS rn
+              FROM proj
+            )
+            SELECT event_id, seg_id AS segment_id, qx AS nearest_x, qy AS nearest_y
+            FROM ranked WHERE rn = 1
+        """,
+        "linestring_distance": f"""
+            WITH {pts}, {lsegs},
+            pairdist AS (
+              SELECT a.line_id AS l1, b.line_id AS l2,
+                     CASE WHEN bool_or(
+                       (((a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax))
+                      * ((a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax)) < 0)
+                       AND
+                       (((b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax))
+                      * ((b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax)) < 0)
+                     ) THEN 0.0
+                     ELSE sqrt(min(LEAST(
+                       {_psd_sql('a.ax', 'a.ay', 'b.ax', 'b.ay', 'b.bx', 'b.by')},
+                       {_psd_sql('a.bx', 'a.by', 'b.ax', 'b.ay', 'b.bx', 'b.by')},
+                       {_psd_sql('b.ax', 'b.ay', 'a.ax', 'a.ay', 'a.bx', 'a.by')},
+                       {_psd_sql('b.bx', 'b.by', 'a.ax', 'a.ay', 'a.bx', 'a.by')}
+                     ))) END AS dist
+              FROM lsegs a, lsegs b
+              GROUP BY a.line_id, b.line_id
+            )
+            SELECT p.event_id, pd.dist AS distance
+            FROM pts p JOIN pairdist pd
+              ON pd.l1 = p.event_id % 4 AND pd.l2 = (p.event_id + 1) % 4
         """,
         "binary_metadata": """
             SELECT doc_id,

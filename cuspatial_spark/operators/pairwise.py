@@ -1,0 +1,211 @@
+"""Pairwise (row i vs row i) geometry operators.
+
+Mirrors the reference's pairwise kernels (SURVEY §2.3-2.4): each
+operator takes a DataFrame whose rows reference features in one or two
+broadcast geometry layers by index, and appends a result column
+computed by one vectorized kernel call per Arrow batch.
+
+Also provides ``distance`` — the GeoPandas-style type dispatcher
+(reference core/binops/distance_dispatch.py:43-140): picks the kernel
+from the (lhs_type, rhs_type) pair.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..geometry import LinestringArrays, PolygonArrays
+from ..kernels import geom_distance as gk
+from ..kernels.pip import point_in_polygon_pairs
+
+
+def _map_batches(df: DataFrame, fn, extra_fields):
+    schema = StructType(df.schema.fields + extra_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield fn(pdf)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def pairwise_point_in_polygon(
+    df: DataFrame,
+    polygons: PolygonArrays,
+    x: str = "x",
+    y: str = "y",
+    polygon_idx: str = "polygon_index",
+    result: str = "in_polygon",
+) -> DataFrame:
+    """Row i: point i inside polygon polygon_idx[i]
+    (reference cpp/src/point_in_polygon/point_in_polygon.cu:133-136)."""
+    po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
+
+    def fn(pdf):
+        pdf[result] = point_in_polygon_pairs(
+            pdf[x].to_numpy(), pdf[y].to_numpy(),
+            pdf[polygon_idx].to_numpy(), po, ro, px, py,
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, BooleanType(), False)])
+
+
+def pairwise_linestring_distance(
+    df: DataFrame,
+    lhs: LinestringArrays,
+    rhs: LinestringArrays,
+    lhs_idx: str = "lhs_index",
+    rhs_idx: str = "rhs_index",
+    result: str = "distance",
+) -> DataFrame:
+    lo, lx, ly = lhs.part_offsets, lhs.x, lhs.y
+    ro, rx, ry = rhs.part_offsets, rhs.x, rhs.y
+
+    def fn(pdf):
+        pdf[result] = gk.pairwise_linestring_distance(
+            pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy(), lo, lx, ly, ro, rx, ry
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_point_polygon_distance(
+    df: DataFrame,
+    polygons: PolygonArrays,
+    x: str = "x",
+    y: str = "y",
+    polygon_idx: str = "polygon_index",
+    result: str = "distance",
+) -> DataFrame:
+    po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
+
+    def fn(pdf):
+        pdf[result] = gk.pairwise_point_polygon_distance(
+            pdf[x].to_numpy(), pdf[y].to_numpy(),
+            pdf[polygon_idx].to_numpy(), po, ro, px, py,
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_linestring_polygon_distance(
+    df: DataFrame,
+    linestrings: LinestringArrays,
+    polygons: PolygonArrays,
+    line_idx: str = "linestring_index",
+    polygon_idx: str = "polygon_index",
+    result: str = "distance",
+) -> DataFrame:
+    lo, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
+    po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
+
+    def fn(pdf):
+        pdf[result] = gk.pairwise_linestring_polygon_distance(
+            pdf[line_idx].to_numpy(), pdf[polygon_idx].to_numpy(),
+            lo, lx, ly, po, ro, px, py,
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_polygon_distance(
+    df: DataFrame,
+    lhs: PolygonArrays,
+    rhs: PolygonArrays,
+    lhs_idx: str = "lhs_index",
+    rhs_idx: str = "rhs_index",
+    result: str = "distance",
+) -> DataFrame:
+    def fn(pdf):
+        pdf[result] = gk.pairwise_polygon_distance(
+            pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy(),
+            lhs.part_offsets, lhs.ring_offsets, lhs.x, lhs.y,
+            rhs.part_offsets, rhs.ring_offsets, rhs.x, rhs.y,
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_point_linestring_nearest_points(
+    df: DataFrame,
+    linestrings: LinestringArrays,
+    x: str = "x",
+    y: str = "y",
+    line_idx: str = "linestring_index",
+) -> DataFrame:
+    """Adds (segment_id, nearest_x, nearest_y) — reference
+    core/spatial/nearest_points.py:18-124."""
+    lo, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
+
+    def fn(pdf):
+        seg, nx, ny = gk.pairwise_point_linestring_nearest_points(
+            pdf[x].to_numpy(), pdf[y].to_numpy(), pdf[line_idx].to_numpy(), lo, lx, ly
+        )
+        pdf["segment_id"] = seg
+        pdf["nearest_x"] = nx
+        pdf["nearest_y"] = ny
+        return pdf
+
+    return _map_batches(
+        df,
+        fn,
+        [
+            StructField("segment_id", LongType(), False),
+            StructField("nearest_x", DoubleType(), True),
+            StructField("nearest_y", DoubleType(), True),
+        ],
+    )
+
+
+def pairwise_multipoint_equals_count(
+    df: DataFrame,
+    lhs_offsets,
+    lhs_x,
+    lhs_y,
+    rhs_offsets,
+    rhs_x,
+    rhs_y,
+    lhs_idx: str = "lhs_index",
+    rhs_idx: str = "rhs_index",
+    result: str = "equals_count",
+) -> DataFrame:
+    """Row i: count of lhs multipoint lhs_idx[i]'s points matching any
+    point of rhs multipoint rhs_idx[i] (core/binops/equals_count.py)."""
+    lo = np.asarray(lhs_offsets, dtype=np.int64)
+    ro = np.asarray(rhs_offsets, dtype=np.int64)
+    lx, ly = np.asarray(lhs_x), np.asarray(lhs_y)
+    rx, ry = np.asarray(rhs_x), np.asarray(rhs_y)
+
+    def fn(pdf):
+        li = pdf[lhs_idx].to_numpy()
+        ri = pdf[rhs_idx].to_numpy()
+        # re-base offsets per selected feature
+        sub_lo = np.concatenate(([0], np.cumsum(lo[li + 1] - lo[li])))
+        sub_ro = np.concatenate(([0], np.cumsum(ro[ri + 1] - ro[ri])))
+        slx = np.concatenate([lx[lo[i]:lo[i + 1]] for i in li]) if len(li) else lx[:0]
+        sly = np.concatenate([ly[lo[i]:lo[i + 1]] for i in li]) if len(li) else ly[:0]
+        srx = np.concatenate([rx[ro[i]:ro[i + 1]] for i in ri]) if len(ri) else rx[:0]
+        sry = np.concatenate([ry[ro[i]:ro[i + 1]] for i in ri]) if len(ri) else ry[:0]
+        pdf[result] = gk.pairwise_multipoint_equals_count(sub_lo, slx, sly, sub_ro, srx, sry)
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, LongType(), False)])

@@ -50,16 +50,25 @@ def _linestrings():
     return LinestringArrays(RING_OFFSETS, POLY_X, POLY_Y)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The driver's testdata parquet files are single row-group (one
+    scan partition), which would serialize per-row compute onto one
+    core.  Spread them once after the scan; at production scale the
+    scan is already split and this becomes a no-op choice."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -245,6 +245,44 @@ def point_in_polygon_join(
     return candidates.mapInPandas(refine_fn, schema=out_schema)
 
 
+def _line_segments_map_expr(linestrings: LinestringArrays):
+    """line_idx -> array<struct<ax,ay,bx,by>> of consecutive-vertex
+    segments, as a literal Catalyst map."""
+    keys, vals = [], []
+    po, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
+    for li in range(len(linestrings)):
+        segs = []
+        for i in range(int(po[li]), int(po[li + 1]) - 1):
+            segs.append(
+                F.struct(
+                    F.lit(float(lx[i])).alias("ax"), F.lit(float(ly[i])).alias("ay"),
+                    F.lit(float(lx[i + 1])).alias("bx"), F.lit(float(ly[i + 1])).alias("by"),
+                )
+            )
+        keys.append(F.lit(int(li)))
+        vals.append(F.array(*segs))
+    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+
+
+def _point_segment_d2_expr(px, py, s):
+    """Clamped point-to-segment squared distance as a JVM expression —
+    same op order as kernels/segment.py."""
+    abx = s["bx"] - s["ax"]
+    aby = s["by"] - s["ay"]
+    l2 = abx * abx + aby * aby
+    r = (px - s["ax"]) * abx + (py - s["ay"]) * aby
+    dac = (px - s["ax"]) * (px - s["ax"]) + (py - s["ay"]) * (py - s["ay"])
+    dbc = (px - s["bx"]) * (px - s["bx"]) + (py - s["by"]) * (py - s["by"])
+    qx = s["ax"] + r / l2 * abx
+    qy = s["ay"] + r / l2 * aby
+    din = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+    return (
+        F.when(l2 == 0, dac)
+        .when((r <= 0) | (r >= l2), F.least(dac, dbc))
+        .otherwise(din)
+    )
+
+
 def point_to_nearest_linestring_join(
     points: DataFrame,
     linestrings: LinestringArrays,
@@ -259,18 +297,26 @@ def point_to_nearest_linestring_join(
     max_depth: int = 15,
     tile_level: int = 8,
     keep_columns: list[str] | None = None,
+    refine: str = "auto",
 ) -> DataFrame:
     """Distributed nearest-linestring: candidate linestrings per point
     come from the expanded-bbox tile cover; per point the minimum
-    distance (and its linestring) is reduced inside the refine batch
-    plus a final groupBy min_by for batch boundaries.
+    distance (and its linestring) is reduced per candidate batch plus a
+    final groupBy min for batch boundaries.
 
     Points whose tile meets no expanded bbox are dropped (same
     reachability contract as the reference's bbox filter).
+
+    refine: 'jvm' computes min segment distance as a Catalyst
+    higher-order expression over a broadcast segment map (no Python);
+    'kernel' uses the Arrow-batched NumPy kernel; 'auto' picks 'jvm'
+    for layers with <= 20k vertices.
     """
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
     keep = keep_columns if keep_columns is not None else [c for c in points.columns]
+    if refine == "auto":
+        refine = "jvm" if len(linestrings.x) <= 20000 else "kernel"
 
     spark = points.sparkSession
     minx, miny, maxx, maxy = linestrings.bounding_boxes(expansion_radius)
@@ -289,6 +335,31 @@ def point_to_nearest_linestring_join(
     candidates = pts.join(F.broadcast(line_tiles), on="tile", how="inner").select(
         *need, "__line_idx"
     )
+
+    if refine == "jvm":
+        seg_map = _line_segments_map_expr(linestrings)
+        id_map = F.map_from_arrays(
+            F.array(*[F.lit(int(i)) for i in range(len(linestrings))]),
+            F.array(*[F.lit(int(v)) for v in linestrings.ids]),
+        )
+        segs = F.element_at(seg_map, F.col("__line_idx"))
+        inf = float(np.finfo(np.float64).max)
+        d2 = F.aggregate(
+            segs,
+            F.lit(inf),
+            lambda acc, s: F.least(acc, _point_segment_d2_expr(F.col(x), F.col(y), s)),
+        )
+        scored = candidates.select(
+            *keep,
+            F.element_at(id_map, F.col("__line_idx")).alias("linestring_id"),
+            F.sqrt(d2).alias("distance"),
+        )
+        return (
+            scored.groupBy(*keep)
+            .agg(F.min(F.struct("distance", "linestring_id")).alias("__m"))
+            .select(*keep, F.col("__m.linestring_id").alias("linestring_id"),
+                    F.col("__m.distance").alias("distance"))
+        )
 
     mid_schema = StructType(
         [f for f in points.schema.fields if f.name in keep]

@@ -60,13 +60,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: column ``mh{i}`` = min over shingles
     of md5("{i}:" + shingle).  Lexicographic min over hex strings — an
-    engine-portable stand-in for integer minhash."""
-    sh = _shingles(docs, id_col, text_col, shingle_k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"mh{i}")
-        for i in range(num_hashes)
+    engine-portable stand-in for integer minhash.
+
+    Computed entirely per-row (`array_min` over a `transform`ed shingle
+    sequence): ZERO shuffles and no shingle explosion — min over
+    duplicate shingles equals min over distinct ones, so no dedup pass
+    is needed either.  One scan at any corpus size.
+    """
+    n = F.greatest(F.length(text_col) - F.lit(shingle_k - 1), F.lit(1))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.md5(
+                    F.concat(
+                        F.lit(f"{h}:"), F.col(text_col).substr(i, F.lit(shingle_k))
+                    ).cast("binary")
+                ),
+            )
+        ).alias(f"mh{h}")
+        for h in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return docs.select(id_col, *cols)
 
 
 def lsh_candidate_pairs(
@@ -79,6 +94,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing at least
     one LSH band bucket (banding over the minhash signature)."""
+    # spread the md5 work before computing signatures: small corpus
+    # files often arrive as one partition, which would serialize the
+    # whole signature computation onto one core
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, id_col)
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     n_bands = num_hashes // band_size
     bands = sig.select(

@@ -364,6 +364,19 @@ def q_linestring_distance(spark, sf_dir):
     )
 
 
+def q_knn(spark, sf_dir):
+    from cuspatial_spark.plans.knn_join import knn_join
+
+    pts = _points(spark, sf_dir).select("event_id", "x", "y").withColumnRenamed(
+        "event_id", "point_id"
+    )
+    queries = pts.where(F.col("point_id") < 50)
+    out = knn_join(
+        pts, queries, k=5, radius=1.0, **AOI, max_depth=10,
+    )
+    return out.select("query_id", "neighbor_id", "distance", "rank")
+
+
 def q_binary_metadata(spark, sf_dir):
     from cuspatial_spark.multimodal import binary_metadata
 
@@ -406,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_polygon_distance": q_point_polygon_distance,
         "nearest_points": q_nearest_points,
         "linestring_distance": q_linestring_distance,
+        "knn": q_knn,
     }
 
 
@@ -775,6 +789,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, pd.dist AS distance
             FROM pts p JOIN pairdist pd
               ON pd.l1 = p.event_id % 4 AND pd.l2 = (p.event_id + 1) % 4
+        """,
+        "knn": f"""
+            WITH {pts},
+            q AS (SELECT event_id AS query_id, x AS qx, y AS qy FROM pts WHERE event_id < 50),
+            scored AS (
+              SELECT q.query_id, p.event_id AS neighbor_id,
+                     sqrt((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS distance
+              FROM q, pts p
+              WHERE p.event_id != q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, distance,
+                     row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+              FROM scored
+              WHERE distance <= 1.0
+            )
+            SELECT query_id, neighbor_id, distance, rank FROM ranked WHERE rank <= 5
         """,
         "binary_metadata": """
             SELECT doc_id,

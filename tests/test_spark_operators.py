@@ -272,3 +272,43 @@ class TestHausdorffSpark:
             ]
         )
         np.testing.assert_allclose(m, expected, atol=1e-6)
+
+
+class TestDeriveTrajectories:
+    def test_sorted_objects_and_offsets(self, spark):
+        # reference doctest shape (core/trajectory.py:44-61)
+        pdf = pd.DataFrame(
+            {
+                "object_id": [1, 0, 1, 0],
+                "x": [1.0, 0.0, 3.0, 2.0],
+                "y": [1.0, 0.0, 3.0, 2.0],
+                "timestamp": pd.to_datetime([1, 0, 3, 2], unit="ms"),
+            }
+        )
+        objects, offsets = ops.derive_trajectories(spark.createDataFrame(pdf))
+        got = objects.toPandas()
+        assert list(got["object_id"]) == [0, 0, 1, 1]
+        assert list(got["x"]) == [0.0, 2.0, 1.0, 3.0]
+        off = offsets.toPandas()
+        assert list(off["object_id"]) == [0, 1]
+        assert list(off["offset"]) == [0, 2]
+
+
+class TestDistanceDispatcher:
+    def test_point_point_and_polygon(self, spark, small_polygons):
+        from cuspatial_spark.operators.dispatch import distance
+
+        pdf = pd.DataFrame(
+            {"x": [0.0], "y": [0.0], "x2": [3.0], "y2": [4.0]}
+        )
+        got = distance(spark.createDataFrame(pdf), "point", "point").toPandas()
+        np.testing.assert_allclose(got["distance"], [5.0])
+
+        pdf2 = pd.DataFrame({"x": [0.0], "y": [0.0], "polygon_index": [0]})
+        got2 = distance(
+            spark.createDataFrame(pdf2), "point", "polygon", rhs_layer=small_polygons
+        ).toPandas()
+        assert got2["distance"].iloc[0] > 0
+
+        with pytest.raises(NotImplementedError):
+            distance(spark.createDataFrame(pdf), "point", "raster")

@@ -156,25 +156,17 @@ def point_in_polygon_join_shuffle(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # build a compact polygon table for the distinct polygons
-            # present in this batch, then run the pair kernel once
-            ids, inv = np.unique(pdf[id_col].to_numpy(), return_inverse=True)
-            first = np.zeros(len(ids), dtype=np.int64)
-            seen = {}
-            for i, pid in enumerate(pdf[id_col].to_numpy()):
-                if pid not in seen:
-                    seen[pid] = i
-            first = np.array([seen[pid] for pid in ids], dtype=np.int64)
-            ring_lists = [np.asarray(pdf[ring_offsets_col].iloc[j]) for j in first]
-            xy_lists = [np.asarray(pdf[xy_col].iloc[j]) for j in first]
+            # compact per-batch polygon table: one entry per distinct
+            # polygon present; points map to it via unique's inverse
+            ids, first_idx, inv = np.unique(
+                pdf[id_col].to_numpy(), return_index=True, return_inverse=True
+            )
             ring_offsets = [0]
             poly_offsets = [0]
             px_parts, py_parts = [], []
-            for ro, xy in zip(ring_lists, xy_lists):
-                ro = np.asarray(ro, dtype=np.int64)
-                base = ring_offsets[-1] and 0  # rings are re-based below
-                start_v = len(px_parts) and 0
-                vbase = sum(len(p) for p in px_parts)
+            for j in first_idx:  # loop over DISTINCT polygons only
+                ro = np.asarray(pdf[ring_offsets_col].iloc[j], dtype=np.int64)
+                xy = np.asarray(pdf[xy_col].iloc[j], dtype=np.float64)
                 for ri in range(len(ro) - 1):
                     ring_offsets.append(ring_offsets[-1] + (ro[ri + 1] - ro[ri]))
                 poly_offsets.append(len(ring_offsets) - 1)

@@ -1,0 +1,55 @@
+"""Tiled / z-ordered table writer.
+
+Writes a points table spatially clustered: rows range-partitioned by
+their full-depth Morton key (so files are z-order-contiguous, the
+batch analogue of the reference's Morton sort,
+detail/index/construction/phase_1.cuh) and directory-partitioned by
+the coarse tile id.  Readers then get:
+
+- partition pruning for `points_in_spatial_window` and tile joins
+  (the tile is a directory key);
+- intra-file locality for any per-tile refine (rows of one quadrant
+  are adjacent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import morton_key_expr, tile_expr
+
+
+def write_tiled(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    max_depth: int = 15,
+    tile_level: int = 6,
+    scale: float | None = None,
+    mode: str = "overwrite",
+) -> None:
+    if scale is None:
+        scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
+    key = morton_key_expr(F.col(x), F.col(y), x_min, x_max, y_min, y_max, scale, max_depth)
+    out = df.withColumn("morton_key", key).withColumn(
+        "tile", tile_expr(F.col("morton_key"), max_depth, tile_level)
+    )
+    (
+        out.repartitionByRange("morton_key")
+        .sortWithinPartitions("morton_key")
+        .write.mode(mode)
+        .partitionBy("tile")
+        .parquet(path)
+    )
+
+
+def read_tiled(spark, path: str) -> DataFrame:
+    """Read back a tiled table; `tile` is a partition column, so tile
+    predicates prune directories."""
+    return spark.read.parquet(path)

@@ -297,3 +297,29 @@ class TestCheckpointedJob:
         assert df.count() == 100
         snap = m.snapshot()
         assert snap["rows_in"] == 100 and snap["rows_out"] == 100
+
+
+class TestTiledWriter:
+    def test_write_prune_roundtrip(self, spark, tmp_path):
+        from cuspatial_spark.sources.writer import read_tiled, write_tiled
+
+        rng = np.random.default_rng(9)
+        pdf = pd.DataFrame(
+            {"point_id": np.arange(2000), "x": rng.uniform(0, 8, 2000), "y": rng.uniform(0, 8, 2000)}
+        )
+        path = str(tmp_path / "tiled")
+        write_tiled(
+            spark.createDataFrame(pdf), path, "x", "y", 0, 8, 0, 8,
+            max_depth=10, tile_level=2,
+        )
+        back = read_tiled(spark, path)
+        assert back.count() == 2000
+        # tile predicate must prune partitions (directory key)
+        one = back.where(F.col("tile") == 0)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(tile" in plan or "tile#" in plan
+        # every row in tile 0 is in the first quadrant cell [0,4)x[0,4)
+        got = one.toPandas()
+        assert (got["x"] < 4.0).all() and (got["y"] < 4.0).all()
+        # round-trip preserves payload
+        assert set(back.toPandas()["point_id"]) == set(range(2000))

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) — the randomized cross-check
+layer the reference gets from its geopandas oracle
+(tests/binpreds/binpred_test_dispatch.py), re-expressed as invariants
+since geopandas is unavailable here."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cuspatial_spark.kernels.pip import _pip_one_polygon, point_in_polygon_pairs
+from cuspatial_spark.kernels.quadtree import build_quadtree
+from cuspatial_spark.kernels.segment import point_linestring_distance_pairs
+from cuspatial_spark.kernels.zorder import point_keys, z_order, z_order_x, z_order_y
+
+coords = st.floats(min_value=0.0, max_value=8.0, allow_nan=False, width=64)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=20))
+def test_quadtree_invariants(pts, max_depth, max_size):
+    """Structural invariants of any valid flat quadtree:
+    - leaves tile the sorted point sequence exactly (disjoint cover)
+    - internal child ranges lie within the table and children's keys
+      have the parent's Morton prefix
+    - level-0 point counts sum to the total."""
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    order, qt = build_quadtree(x, y, 0, 8, 0, 8, 8 / (1 << max_depth), max_depth, max_size)
+    n = len(x)
+    assert sorted(order.tolist()) == list(range(n))
+
+    leaf = ~qt.is_internal_node
+    # leaves cover [0, n) disjointly
+    ranges = sorted(
+        (int(o), int(o) + int(l)) for o, l in zip(qt.offset[leaf], qt.length[leaf])
+    )
+    pos = 0
+    for s, e in ranges:
+        assert s == pos, f"gap/overlap at {s} (expected {pos})"
+        pos = e
+    assert pos == n
+
+    # internal nodes: children contiguous, right level, prefix matches
+    for i in np.nonzero(qt.is_internal_node)[0]:
+        o, l = int(qt.offset[i]), int(qt.length[i])
+        assert 0 < l <= 4
+        assert o + l <= len(qt.key)
+        for c in range(o, o + l):
+            assert qt.level[c] == qt.level[i] + 1
+            assert int(qt.key[c]) >> 2 == int(qt.key[i])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=3, max_size=12),
+       st.lists(st.tuples(coords, coords), min_size=1, max_size=100))
+def test_pip_kernel_matches_sql_formula(ring, pts):
+    """The NumPy kernel and the JVM/SQL crossing formula (as used in
+    oracle_sql and _pip_jvm_hit_expr) agree everywhere except exact
+    on-edge points (kernel forces those False)."""
+    px = np.array([p[0] for p in ring] + [ring[0][0]])
+    py = np.array([p[1] for p in ring] + [ring[0][1]])
+    tx = np.array([p[0] for p in pts])
+    ty = np.array([p[1] for p in pts])
+    kernel = _pip_one_polygon(tx, ty, np.array([0, len(px)]), px, py)
+
+    # plain crossings parity (no edge exclusion), vectorized
+    crossings = np.zeros(len(tx), dtype=np.int64)
+    for i in range(len(px)):
+        prev = len(px) - 1 if i == 0 else i - 1
+        ax, ay, bx, by = px[i], py[i], px[prev], py[prev]
+        if ax == bx and ay == by:
+            continue
+        y0 = by > ty
+        y1 = ay > ty
+        flip = (y0 != y1) & (((tx - ax) * (by - ay) < (bx - ax) * (ty - ay)) != y1)
+        crossings += flip
+    plain = (crossings % 2) == 1
+
+    diff = kernel != plain
+    if diff.any():
+        # disagreements only allowed where the kernel found an on-edge
+        # point; re-check those are indeed borderline (distance ~ 0)
+        from cuspatial_spark.kernels.segment import point_segment_distance_squared
+
+        for j in np.nonzero(diff)[0]:
+            d2 = np.inf
+            for i in range(len(px)):
+                prev = len(px) - 1 if i == 0 else i - 1
+                d2 = min(d2, float(np.asarray(point_segment_distance_squared(
+                    tx[j], ty[j], px[i], py[i], px[prev], py[prev])).ravel()[0]))
+            assert d2 < 1e-18, f"kernel/formula disagree off-edge (d2={d2})"
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=1, max_size=100),
+       st.integers(min_value=1, max_value=8))
+def test_morton_roundtrip_and_ordering(pts, depth):
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    scale = 8 / (1 << depth)
+    keys = point_keys(x, y, 0, 8, 0, 8, scale, depth)
+    kx = z_order_x(keys)
+    ky = z_order_y(keys)
+    assert (z_order(kx, ky) == keys).all()
+    # cell coords consistent with direct quantization (clamped at edge)
+    ux = np.minimum((x / scale).astype(np.int64), (1 << 16) - 1)
+    uy = np.minimum((y / scale).astype(np.int64), (1 << 16) - 1)
+    np.testing.assert_array_equal(kx, ux)
+    np.testing.assert_array_equal(ky, uy)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=2, max_size=10),
+       st.tuples(coords, coords))
+def test_point_linestring_distance_bounds(line, point):
+    """Distance to a linestring <= distance to every vertex, and == 0
+    when the query point is a vertex."""
+    lx = np.array([p[0] for p in line])
+    ly = np.array([p[1] for p in line])
+    offs = np.array([0, len(lx)])
+    d = point_linestring_distance_pairs(
+        np.array([point[0]]), np.array([point[1]]), np.array([0]), offs, lx, ly
+    )[0]
+    vert_d = np.hypot(lx - point[0], ly - point[1]).min()
+    assert d <= vert_d + 1e-12
+    d0 = point_linestring_distance_pairs(
+        np.array([lx[0]]), np.array([ly[0]]), np.array([0]), offs, lx, ly
+    )[0]
+    assert d0 == 0.0

@@ -92,13 +92,32 @@ def build_quadtree(
             empty_u32.copy(),
         )
 
+    ks, counts = np.unique(sorted_keys, return_counts=True)
+    return point_order, build_quadtree_from_cell_counts(ks, counts, max_depth, max_size)
+
+
+def build_quadtree_from_cell_counts(
+    cell_keys: np.ndarray,
+    counts: np.ndarray,
+    max_depth: int,
+    max_size: int,
+) -> Quadtree:
+    """Construct the flat quadtree from (distinct full-resolution cell
+    key, point count) pairs — the construction only ever consumes
+    counts, so this is the distributed entry point: aggregate per-cell
+    counts with one groupBy at any scale, then build the (small) node
+    table from the histogram.  ``cell_keys`` must be sorted ascending.
+    """
+    cell_keys = np.asarray(cell_keys, dtype=np.uint32)
+    counts = np.asarray(counts, dtype=np.int64)
+
     # --- bottom-up: per-level (key -> point_count, child_count) tables ---
     # level max_depth-1 nodes are the distinct full-resolution point keys
     level_keys: list[np.ndarray] = [None] * max_depth
     level_pcount: list[np.ndarray] = [None] * max_depth
     level_ccount: list[np.ndarray] = [None] * max_depth
 
-    ks, counts = np.unique(sorted_keys, return_counts=True)
+    ks = cell_keys
     level_keys[max_depth - 1] = ks
     level_pcount[max_depth - 1] = counts.astype(np.int64)
     level_ccount[max_depth - 1] = np.zeros(len(ks), dtype=np.int64)
@@ -164,7 +183,7 @@ def build_quadtree(
     contrib = np.where(internal, ccount, 0)
     offset[internal] = (level_1_size + np.concatenate(([0], np.cumsum(contrib)[:-1])))[internal]
 
-    return point_order, Quadtree(
+    return Quadtree(
         key=key,
         level=level.astype(np.uint8),
         is_internal_node=internal,

@@ -90,3 +90,60 @@ def quadtree_on_points(
         points.mapInPandas(run_order, schema=POINT_ORDER_SCHEMA),
         points.mapInPandas(run_tree, schema=QUADTREE_SCHEMA),
     )
+
+
+def quadtree_on_points_global(
+    points: DataFrame,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    scale: float,
+    max_depth: int,
+    max_size: int,
+    x: str = "x",
+    y: str = "y",
+):
+    """GLOBAL quadtree over an arbitrarily large distributed table.
+
+    The construction only consumes per-cell point counts, so the wide
+    part is exactly one aggregation: groupBy(full-depth Morton key)
+    count — Morton keys are pure-JVM expressions, partial aggregation
+    bounds shuffle volume by the number of OCCUPIED cells (<= 4^depth),
+    and the node table (also <= occupied-cell count) is built on the
+    driver with the identical NumPy construction the goldens verify.
+
+    Returns a pandas DataFrame with the reference's 5 columns (key,
+    level, is_internal_node, length, offset); offsets index the global
+    Morton-sorted point order, which is well-defined without ever
+    materializing a global sort (position = rank of key).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..functions.expressions import morton_key_expr
+    from ..kernels.quadtree import build_quadtree_from_cell_counts, clamp_scale
+
+    x_min, x_max, y_min, y_max, scale = clamp_scale(
+        x_min, x_max, y_min, y_max, scale, max_depth
+    )
+    key = morton_key_expr(F.col(x), F.col(y), x_min, x_max, y_min, y_max, scale, max_depth)
+    cells = (
+        points.select(key.alias("cell"))
+        .groupBy("cell")
+        .count()
+        .orderBy("cell")
+        .toPandas()
+    )
+    qt = build_quadtree_from_cell_counts(
+        cells["cell"].to_numpy(), cells["count"].to_numpy(), max_depth, max_size
+    )
+    return pd.DataFrame(
+        {
+            "key": qt.key.astype(np.int64),
+            "level": qt.level.astype(np.int64),
+            "is_internal_node": qt.is_internal_node,
+            "length": qt.length.astype(np.int64),
+            "offset": qt.offset.astype(np.int64),
+        }
+    )

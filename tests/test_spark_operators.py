@@ -312,3 +312,42 @@ class TestDistanceDispatcher:
 
         with pytest.raises(NotImplementedError):
             distance(spark.createDataFrame(pdf), "point", "raster")
+
+
+class TestGlobalQuadtree:
+    def test_matches_golden_multi_partition(self, spark):
+        from cuspatial_spark.operators.indexing import quadtree_on_points_global
+
+        pdf = pd.DataFrame(
+            {
+                "x": np.asarray(G.SMALL_POINTS_X, dtype=np.float64),
+                "y": np.asarray(G.SMALL_POINTS_Y, dtype=np.float64),
+            }
+        )
+        pts = spark.createDataFrame(pdf).repartition(8)  # distributed input
+        got = quadtree_on_points_global(
+            pts, P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        )
+        g = G.QUADTREE_GOLDEN
+        np.testing.assert_array_equal(got["key"], g["key"])
+        np.testing.assert_array_equal(got["level"], g["level"])
+        np.testing.assert_array_equal(got["is_internal_node"], np.array(g["is_internal_node"], bool))
+        np.testing.assert_array_equal(got["length"], g["length"])
+        np.testing.assert_array_equal(got["offset"], g["offset"])
+
+    def test_matches_kernel_on_random(self, spark):
+        from cuspatial_spark.kernels.quadtree import build_quadtree
+        from cuspatial_spark.operators.indexing import quadtree_on_points_global
+
+        rng = np.random.default_rng(33)
+        pdf = pd.DataFrame({"x": rng.uniform(0, 8, 5000), "y": rng.uniform(0, 8, 5000)})
+        depth, msize, scale = 5, 60, 8 / (1 << 5)
+        got = quadtree_on_points_global(
+            spark.createDataFrame(pdf).repartition(16), 0, 8, 0, 8, scale, depth, msize
+        )
+        _, qt = build_quadtree(pdf["x"].to_numpy(), pdf["y"].to_numpy(), 0, 8, 0, 8, scale, depth, msize)
+        np.testing.assert_array_equal(got["key"], qt.key)
+        np.testing.assert_array_equal(got["level"], qt.level)
+        np.testing.assert_array_equal(got["length"], qt.length)
+        np.testing.assert_array_equal(got["offset"], qt.offset)

@@ -22,3 +22,20 @@ from .trajectory import (  # noqa: F401
     derive_trajectories,
     trajectory_distances_and_speeds,
 )
+from . import binpreds, pairwise  # noqa: F401
+from .dispatch import distance  # noqa: F401
+from .indexing import quadtree_on_points_global  # noqa: F401
+from .intersection import (  # noqa: F401
+    linestring_overlaps_linestring,
+    linestring_touches_linestring,
+    pairwise_linestring_intersection,
+)
+from .pairwise import (  # noqa: F401
+    pairwise_linestring_distance,
+    pairwise_linestring_polygon_distance,
+    pairwise_multipoint_equals_count,
+    pairwise_point_in_polygon,
+    pairwise_point_linestring_nearest_points,
+    pairwise_point_polygon_distance,
+    pairwise_polygon_distance,
+)

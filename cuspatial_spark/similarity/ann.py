@@ -69,6 +69,33 @@ def brute_force_topk(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini k-means on a driver-side sample — the offline step that
+    produces the IVF coarse quantizer.  The sample is a bounded
+    collect (``sample_rows``); training is vectorized NumPy Lloyd
+    iterations.  At 100 TB you still sample ~1e5 rows; the full table
+    is only touched by the (distributed) assignment afterwards."""
+    frac_df = vectors.select(vec_col).limit(sample_rows).toPandas()
+    m = np.stack(frac_df[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cts = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        d = (m * m).sum(1)[:, None] - 2.0 * m @ cts.T + (cts * cts).sum(1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cts)):
+            members = m[assign == c]
+            if len(members):
+                cts[c] = members.mean(axis=0)
+    return cts
+
+
 def _assign_centroids(df: DataFrame, centroids: np.ndarray, vec_col: str, out: str) -> DataFrame:
     """Nearest-centroid id per row, vectorized over Arrow batches."""
     cts = centroids.astype(np.float64)

@@ -323,3 +323,25 @@ class TestTiledWriter:
         assert (got["x"] < 4.0).all() and (got["y"] < 4.0).all()
         # round-trip preserves payload
         assert set(back.toPandas()["point_id"]) == set(range(2000))
+
+
+class TestIvfTrainer:
+    def test_train_and_search(self, spark):
+        from cuspatial_spark.similarity import brute_force_topk, ivf_topk
+        from cuspatial_spark.similarity.ann import train_centroids
+
+        rng = np.random.default_rng(13)
+        centers = rng.normal(size=(4, 16)) * 5
+        vecs = np.concatenate(
+            [c + rng.normal(size=(30, 16)) * 0.5 for c in centers]
+        ).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": range(120), "embedding": [v.tolist() for v in vecs]})
+        df = spark.createDataFrame(pdf)
+        cts = train_centroids(df, 4, sample_rows=120, iters=8)
+        assert cts.shape == (4, 16)
+        q = df.where(F.col("vec_id") < 5)
+        exact = brute_force_topk(df, q, k=3).toPandas()
+        approx = ivf_topk(df, q, centroids=cts, k=3, nprobe=1).toPandas()
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.8

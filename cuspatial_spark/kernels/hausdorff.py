@@ -22,10 +22,26 @@ def directed_hausdorff(xs: np.ndarray, ys: np.ndarray, space_offsets: np.ndarray
         return np.zeros((0, 0), dtype=np.float64)
     bounds = np.concatenate((offs, [len(xs)]))
     out = np.zeros((n_spaces, n_spaces), dtype=np.float64)
-    # pairwise squared distances once; spaces are small per call
-    dx = xs[:, None] - xs[None, :]
-    dy = ys[:, None] - ys[None, :]
-    d = np.sqrt(dx * dx + dy * dy)
+    n = len(xs)
+    if n <= 4096:
+        # one dense distance matrix (fast path for small groups)
+        dx = xs[:, None] - xs[None, :]
+        dy = ys[:, None] - ys[None, :]
+        d = np.sqrt(dx * dx + dy * dy)
+        for i in range(n_spaces):
+            si, ei = bounds[i], bounds[i + 1]
+            for j in range(n_spaces):
+                if i == j:
+                    continue
+                sj, ej = bounds[j], bounds[j + 1]
+                if ei <= si or ej <= sj:
+                    out[i, j] = np.nan
+                    continue
+                block = d[si:ei, sj:ej]
+                out[i, j] = block.min(axis=1).max()
+        return out
+    # large groups: per-space-pair blocks so memory is O(|i|*|j|),
+    # never O(n^2) over the whole group
     for i in range(n_spaces):
         si, ei = bounds[i], bounds[i + 1]
         for j in range(n_spaces):
@@ -35,6 +51,7 @@ def directed_hausdorff(xs: np.ndarray, ys: np.ndarray, space_offsets: np.ndarray
             if ei <= si or ej <= sj:
                 out[i, j] = np.nan
                 continue
-            block = d[si:ei, sj:ej]
-            out[i, j] = block.min(axis=1).max()
+            dx = xs[si:ei, None] - xs[None, sj:ej]
+            dy = ys[si:ei, None] - ys[None, sj:ej]
+            out[i, j] = np.sqrt(dx * dx + dy * dy).min(axis=1).max()
     return out

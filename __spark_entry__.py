@@ -377,6 +377,18 @@ def q_knn(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "distance", "rank")
 
 
+def q_binpreds(spark, sf_dir):
+    from cuspatial_spark.operators import binpreds as bp
+
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y", (F.col("event_id") % 4).alias("polygon_index")
+    )
+    out = bp.polygon_contains_properly_point(pts, _polygons())
+    out = bp.polygon_intersects_point(out, _polygons())
+    out = bp.polygon_disjoint_point(out, _polygons())
+    return out.select("event_id", "contains_properly", "intersects", "disjoint")
+
+
 def q_binary_metadata(spark, sf_dir):
     from cuspatial_spark.multimodal import binary_metadata
 
@@ -420,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_points": q_nearest_points,
         "linestring_distance": q_linestring_distance,
         "knn": q_knn,
+        "binpreds": q_binpreds,
     }
 
 
@@ -789,6 +802,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, pd.dist AS distance
             FROM pts p JOIN pairdist pd
               ON pd.l1 = p.event_id % 4 AND pd.l2 = (p.event_id + 1) % 4
+        """,
+        "binpreds": f"""
+            WITH {pts}, {segs},
+            cand AS (
+              SELECT p.event_id, p.x, p.y, s.ax, s.ay, s.bx, s.by
+              FROM pts p JOIN segs s ON s.poly_id = p.event_id % 4
+            ),
+            agg AS (
+              SELECT event_id,
+                     sum({_crossing_sql('x', 'y', 'cand')}) AS ncross,
+                     min({_psd_sql('x', 'y', 'cand.bx', 'cand.by', 'cand.ax', 'cand.ay')}) AS mind2
+              FROM cand
+              GROUP BY event_id, x, y
+            )
+            SELECT event_id,
+                   ncross % 2 = 1 AS contains_properly,
+                   (ncross % 2 = 1) OR (sqrt(mind2) = 0.0) AS intersects,
+                   NOT ((ncross % 2 = 1) OR (sqrt(mind2) = 0.0)) AS disjoint
+            FROM agg
         """,
         "knn": f"""
             WITH {pts},

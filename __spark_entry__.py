@@ -287,6 +287,12 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_simhash(spark, sf_dir):
+    from cuspatial_spark.textops import simhash
+
+    return simhash(_docs(spark, sf_dir)).select("doc_id", "simhash_hi", "simhash_lo")
+
+
 def q_token_count(spark, sf_dir):
     from cuspatial_spark.textops import token_count
 
@@ -421,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
         "langid": q_langid,
@@ -480,11 +487,67 @@ shingles AS (
 """
 
 
-def _minhash_sql(num_hashes: int = 4) -> str:
+def _minhash_sql(num_hashes: int = 4, shingle_k: int = 8) -> str:
+    """One md5 per shingle position, 32-bit prefix as integer, k affine
+    permutations mod 2^61-1 — mirrors textops/dedup.py exactly.  (No
+    DISTINCT: min over duplicate shingles equals min over distinct.)"""
+    from cuspatial_spark.textops.dedup import MINHASH_P, minhash_params
+
+    a, b = minhash_params(num_hashes)
     aggs = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+        f"min(({a[i]} * h + {b[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(num_hashes)
     )
-    return f"WITH {_SHINGLE_SQL} SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id"
+    return f"""
+    WITH sh AS (
+      SELECT d.doc_id,
+             CAST(concat('0x', substr(md5(substr(d.text, gs.i, {shingle_k})), 1, 8)) AS BIGINT) % {MINHASH_P} AS h
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - {shingle_k - 1}, 1))) AS i) gs
+    )
+    SELECT doc_id, {aggs} FROM sh GROUP BY doc_id
+    """
+
+
+def _simhash_sql() -> str:
+    """Token-exploded SimHash mirroring textops/dedup.py: per-token
+    md5 -> (hi, lo) 32-bit halves, per-bit +1/-1 votes, bit=1 iff
+    votes >= 0, packed per half."""
+    vlo = ", ".join(
+        f"sum(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vlo{j}"
+        for j in range(32)
+    )
+    vhi = ", ".join(
+        f"sum(CASE WHEN (hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vhi{j}"
+        for j in range(32)
+    )
+    pack_lo = " + ".join(
+        f"(CASE WHEN v.vlo{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    pack_hi = " + ".join(
+        f"(CASE WHEN v.vhi{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d,
+           LATERAL (SELECT unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS tok) t
+      WHERE t.tok != ''
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+             CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM toks
+    ),
+    v AS (SELECT doc_id, {vlo}, {vhi} FROM th GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE({pack_hi}, 0) AS simhash_hi,
+           COALESCE({pack_lo}, 0) AS simhash_lo
+    FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+    """
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -637,14 +700,15 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": f"""
             WITH sig AS ({_minhash_sql(4)}),
             bands AS (
-              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
               UNION ALL
-              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+              SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS bucket FROM sig
             )
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
         """,
+        "simhash": _simhash_sql(),
         "ngram_jaccard": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),

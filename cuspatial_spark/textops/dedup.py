@@ -2,23 +2,43 @@
 
 All hash primitives are md5-based so results are engine-portable
 (byte-identical in Spark, DuckDB, Python) and deterministic across
-cluster sizes.  Everything except simhash is pure Spark built-ins
-(whole-stage codegen; shuffles only on groupBy keys); simhash packs
-64 bits per token via a vectorized pandas UDF.
+cluster sizes.  Everything is pure Spark built-ins (whole-stage
+codegen; shuffles only on groupBy/join keys).
 
-Scale notes (100 TB): shingling explodes ~n_chars rows per doc — the
-explode is map-side only; the only shuffles are the groupBy(doc) for
-signatures and the band-bucket self-join, whose keys (band hashes) are
-uniformly distributed by construction, so no salting is needed.
+Cost model (100 TB): md5 is the dominant per-byte cost, so each
+shingle/token is hashed exactly ONCE; the k minhash values derive from
+that single hash via affine permutations ``(a_i*h + b_i) mod p`` over
+a Mersenne prime — integer arithmetic that whole-stage codegen chews
+through.  Shingling stays map-side (per-row higher-order functions, no
+explode); the only shuffles are the band-bucket self-join for LSH and
+the md5 groupBy for exact dedup, whose keys are uniform by
+construction.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+
+# 2^31 - 1 (Mersenne prime): with h, a, b < p the products stay
+# < 2^62 (exact in int64 on every engine) AND a*h wraps the modulus
+# ~2^31 times, so each (a_i*h + b_i) mod p is a genuinely independent
+# universal-hash permutation — a larger p with int64-safe multipliers
+# would be near-monotonic in h and make all k minhashes pick the same
+# argmin shingle.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) affine-permutation parameters in
+    [1, p) / [0, p), shared by the Spark operators and the SQL oracle
+    builders (splitmix-style multiplicative scramble)."""
+    a = [
+        ((2654435761 * (i + 1) + 1013904223 * ((i + 7) ** 3)) % (MINHASH_P - 1)) + 1
+        for i in range(num_hashes)
+    ]
+    b = [(40503 * (i + 1) ** 2 + 12345) % MINHASH_P for i in range(num_hashes)]
+    return a, b
 
 
 def exact_duplicates(
@@ -51,6 +71,26 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     )
 
 
+def _shingle_hashes(text_col: str, shingle_k: int):
+    """array<long> column: one md5-prefix hash (reduced mod MINHASH_P)
+    per shingle position.  Exactly one md5 evaluation per shingle — the
+    k minhash values derive from these by cheap affine permutations."""
+    n = F.greatest(F.length(text_col) - F.lit(shingle_k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.col(text_col).substr(i, F.lit(shingle_k)).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(MINHASH_P),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -58,30 +98,29 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 8,
 ) -> DataFrame:
-    """MinHash signature per doc: column ``mh{i}`` = min over shingles
-    of md5("{i}:" + shingle).  Lexicographic min over hex strings — an
-    engine-portable stand-in for integer minhash.
+    """MinHash signature per doc: column ``mh{i}`` (bigint) = min over
+    shingles of the i-th affine permutation of the shingle's 32-bit
+    md5-prefix hash.
 
-    Computed entirely per-row (`array_min` over a `transform`ed shingle
-    sequence): ZERO shuffles and no shingle explosion — min over
-    duplicate shingles equals min over distinct ones, so no dedup pass
-    is needed either.  One scan at any corpus size.
+    Computed entirely per-row (higher-order functions over a shingle
+    hash array materialized once): ZERO shuffles, ONE md5 per shingle
+    regardless of ``num_hashes`` — min over duplicate shingles equals
+    min over distinct ones, so no dedup pass is needed either.  One
+    scan at any corpus size.
     """
-    n = F.greatest(F.length(text_col) - F.lit(shingle_k - 1), F.lit(1))
+    a, b = minhash_params(num_hashes)
+    hashed = docs.select(
+        id_col, _shingle_hashes(text_col, shingle_k).alias("__sh")
+    )
+
+    def perm(ai: int, bi: int):
+        return lambda h: (F.lit(ai) * h + F.lit(bi)) % F.lit(MINHASH_P)
+
     cols = [
-        F.array_min(
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.md5(
-                    F.concat(
-                        F.lit(f"{h}:"), F.col(text_col).substr(i, F.lit(shingle_k))
-                    ).cast("binary")
-                ),
-            )
-        ).alias(f"mh{h}")
-        for h in range(num_hashes)
+        F.array_min(F.transform("__sh", perm(a[i], b[i]))).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
-    return docs.select(id_col, *cols)
+    return hashed.select(id_col, *cols)
 
 
 def lsh_candidate_pairs(
@@ -91,9 +130,22 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_k: int = 8,
+    mode: str = "allpairs",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing at least
-    one LSH band bucket (banding over the minhash signature)."""
+    one LSH band bucket (banding over the minhash signature).
+
+    ``mode``:
+
+    - ``"allpairs"`` — every co-bucketed pair.  Exact, but an m-doc
+      bucket emits m² pairs: web corpora with boilerplate clusters of
+      1e5+ near-identical docs would blow up.  Use for bounded corpora
+      / oracle comparison.
+    - ``"canonical"`` — each doc pairs only with the *minimum* doc id
+      of its bucket: O(m) output per bucket, and the pairs form a star
+      per bucket whose connected components equal the allpairs
+      components — the 100-TB-safe shape for dedup clustering.
+    """
     # spread the md5 work before computing signatures: small corpus
     # files often arrive as one partition, which would serialize the
     # whole signature computation onto one core
@@ -101,6 +153,8 @@ def lsh_candidate_pairs(
     docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, id_col)
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     n_bands = num_hashes // band_size
+    # bucket key = the band's signature values joined by ':' — no
+    # second hashing pass; band id rides alongside as a join key
     bands = sig.select(
         id_col,
         F.explode(
@@ -108,10 +162,12 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat(
-                                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-                            ).cast("binary")
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"mh{b * band_size + j}").cast("string")
+                                for j in range(band_size)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(n_bands)
@@ -119,6 +175,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if mode == "canonical":
+        w = Window.partitionBy("band", "bucket")
+        return (
+            bands.withColumn("id_a", F.min(id_col).over(w))
+            .where(F.col("id_a") < F.col(id_col))
+            .select("id_a", F.col(id_col).alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -170,31 +234,83 @@ def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (md5-derived token
-    hashes), computed with a vectorized pandas UDF (NumPy bit
-    unpacking — no per-row Python loops over bits)."""
-    import hashlib
+    """64-bit SimHash over whitespace tokens, pure built-ins (zero
+    shuffles, no Python workers).
 
-    @F.pandas_udf(LongType())
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):  # per-document; inner math vectorized
-            toks = t.split()
-            if not toks:
-                continue
-            hashes = np.frombuffer(
-                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-                dtype=">u8",
-            )
-            bits_mat = (hashes[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-            votes = (2 * bits_mat.astype(np.int64) - 1).sum(axis=0)
-            val = np.uint64(0)
-            val = ((votes >= 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(
-                dtype=np.uint64
-            )
-            out[i] = np.int64(val.astype(np.int64))
-        return pd.Series(out)
+    Token hash = first 16 hex chars of md5(token) read as a big-endian
+    uint64 (split into 32-bit ``hi``/``lo`` halves so every
+    intermediate fits a signed int64 on any engine).  Each bit votes
+    +1/-1 per token occurrence; bit = 1 iff votes >= 0.  Output
+    columns: ``simhash`` (the packed int64, Java wraparound for bit
+    63), plus ``simhash_hi``/``simhash_lo`` (the two uint32 halves —
+    the engine-portable form used by the SQL oracle).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    # one md5 + two hex->int conversions per token, materialized once
+    hashed = docs.select(
+        id_col,
+        F.transform(
+            toks,
+            lambda t: F.struct(
+                F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
+                .cast("long")
+                .alias("hi"),
+                F.conv(F.substring(F.md5(t.cast("binary")), 9, 8), 16, 10)
+                .cast("long")
+                .alias("lo"),
+            ),
+        ).alias("__m"),
+    )
 
-    return docs.select(id_col, simhash_udf(F.col(text_col)).alias("simhash"))
+    def pow2(j):
+        # 2^j for a *column* j <= 31: binary-fp pow is exact for
+        # powers of two (shiftleft/shiftright only take int literals)
+        return F.pow(F.lit(2.0), j.cast("double")).cast("long")
+
+    def half_votes(field: str):
+        """array<long>[32] of per-bit votes over one 32-bit half."""
+        return F.aggregate(
+            "__m",
+            F.array_repeat(F.lit(0).cast("long"), 32),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda a, j: a
+                + F.floor(h[field] / pow2(j))
+                .cast("long")
+                .bitwiseAND(F.lit(1).cast("long"))
+                * 2
+                - 1,
+            ),
+        )
+
+    def pack(votes_col):
+        """Σ bit_j << j over the 32-entry votes array (fits int64)."""
+        return F.aggregate(
+            F.zip_with(
+                votes_col,
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda v, j: F.when(v >= 0, pow2(j)).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    out = hashed.select(
+        id_col,
+        F.when(F.size("__m") == 0, F.lit(0).cast("long"))
+        .otherwise(pack(half_votes("lo")))
+        .alias("simhash_lo"),
+        F.when(F.size("__m") == 0, F.lit(0).cast("long"))
+        .otherwise(pack(half_votes("hi")))
+        .alias("simhash_hi"),
+    )
+    return out.select(
+        id_col,
+        F.shiftleft("simhash_hi", 32).bitwiseOR(F.col("simhash_lo")).alias("simhash"),
+        "simhash_hi",
+        "simhash_lo",
+    )

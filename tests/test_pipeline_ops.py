@@ -60,6 +60,29 @@ class TestDedup:
         assert got["jaccard"].iloc[0] == 1.0  # identical text
         assert got["jaccard"].iloc[1] < 0.1
 
+    def test_lsh_canonical_mode_bounds_hot_buckets(self, spark):
+        """A boilerplate cluster of m near-identical docs must emit
+        O(m) pairs in canonical mode (vs m^2 allpairs), with the same
+        connected components."""
+        from cuspatial_spark.textops import lsh_candidate_pairs
+
+        m = 200
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(m + 2),
+                "text": ["identical boilerplate page content here"] * m
+                + ["totally unrelated document about engines", "another singleton"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        canon = lsh_candidate_pairs(
+            df, num_hashes=4, band_size=2, mode="canonical"
+        ).toPandas()
+        # star per bucket: every cluster member pairs only with doc 0
+        assert len(canon) == m - 1
+        assert set(canon["id_a"]) == {0}
+        assert set(canon["id_b"]) == set(range(1, m))
+
     def test_simhash_hamming(self, spark, docs):
         from cuspatial_spark.textops import simhash
 

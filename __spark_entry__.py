@@ -38,6 +38,33 @@ POLY_Y = [5.856625, 5.008840, 4.586599, 5.856625, 4.229242, 1.825073,
           0.086693, 1.235638, 4.541529, 3.530299, 2.896937, 3.745936, 4.541529]
 
 
+# synthetic single-segment linestring layer with integer coordinates
+# (exact in f64) engineered to exercise every ls-ls relationship vs L0:
+# L0 horizontal base, L1 proper cross, L2 endpoint touch, L3 collinear
+# partial overlap, L4 disjoint/parallel
+TL_OFFSETS = [0, 2, 4, 6, 8, 10]
+TL_X = [0.0, 4.0, 1.0, 1.0, 4.0, 6.0, 2.0, 6.0, 0.0, 4.0]
+TL_Y = [0.0, 0.0, -1.0, 1.0, 0.0, 2.0, 0.0, 0.0, 3.0, 3.0]
+
+
+def _tlines():
+    from cuspatial_spark.geometry import LinestringArrays
+
+    return LinestringArrays(TL_OFFSETS, TL_X, TL_Y)
+
+
+def _tl_values() -> str:
+    """tl(line_id, ax, ay, bx, by) VALUES rows for the synthetic
+    single-segment layer."""
+    rows = []
+    for i in range(5):
+        rows.append(
+            f"({i}, CAST({TL_X[2*i]!r} AS DOUBLE), CAST({TL_Y[2*i]!r} AS DOUBLE), "
+            f"CAST({TL_X[2*i+1]!r} AS DOUBLE), CAST({TL_Y[2*i+1]!r} AS DOUBLE))"
+        )
+    return ",\n".join(rows)
+
+
 def _polygons():
     from cuspatial_spark.geometry import PolygonArrays
 
@@ -406,6 +433,163 @@ def q_binary_metadata(spark, sf_dir):
     )
 
 
+def q_pip_pairwise(spark, sf_dir):
+    from cuspatial_spark.operators.pairwise import pairwise_point_in_polygon
+
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y", (F.col("event_id") % 4).alias("polygon_index")
+    )
+    return pairwise_point_in_polygon(pts, _polygons()).select("event_id", "in_polygon")
+
+
+def q_lspoly_distance(spark, sf_dir):
+    from cuspatial_spark.operators.pairwise import pairwise_linestring_polygon_distance
+
+    rows = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % 5).alias("linestring_index"),
+        (F.col("event_id") % 4).alias("polygon_index"),
+    )
+    return pairwise_linestring_polygon_distance(rows, _tlines(), _polygons()).select(
+        "event_id", "distance"
+    )
+
+
+def q_polygon_distance(spark, sf_dir):
+    from cuspatial_spark.operators.pairwise import pairwise_polygon_distance
+
+    rows = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % 4).alias("lhs_index"),
+        ((F.col("event_id") + 1) % 4).alias("rhs_index"),
+    )
+    return pairwise_polygon_distance(rows, _polygons(), _polygons()).select(
+        "event_id", "distance"
+    )
+
+
+def q_intersection(spark, sf_dir):
+    from cuspatial_spark.operators.intersection import (
+        pairwise_linestring_intersection,
+    )
+
+    rows = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % 5).alias("lhs_index"),
+        ((F.col("event_id") + 1 + 2 * (F.col("event_id") % 2)) % 5).alias("rhs_index"),
+    )
+    out = pairwise_linestring_intersection(rows, _tlines(), _tlines())
+    return out.select(
+        "event_id",
+        "lhs_index",
+        "rhs_index",
+        F.col("kind").cast("int").alias("kind"),
+        F.round(F.get("coords", 0), 6).alias("c1"),
+        F.round(F.get("coords", 1), 6).alias("c2"),
+        F.round(F.get("coords", 2), 6).alias("c3"),
+        F.round(F.get("coords", 3), 6).alias("c4"),
+        "lhs_segment_id",
+        "rhs_segment_id",
+    )
+
+
+def q_binpreds_ls(spark, sf_dir):
+    from cuspatial_spark.operators import binpreds as bp
+    from cuspatial_spark.operators.intersection import (
+        linestring_overlaps_linestring,
+        linestring_touches_linestring,
+    )
+
+    tl = _tlines()
+    rows = _points(spark, sf_dir).select(
+        "event_id",
+        F.lit(0).cast("long").alias("lhs_index"),
+        (F.col("event_id") % 5).alias("rhs_index"),
+    )
+    out = bp.linestring_intersects_linestring(rows, tl, tl)
+    out = bp.linestring_crosses_linestring(out, tl, tl)
+    out = linestring_touches_linestring(out, tl, tl)
+    out = linestring_overlaps_linestring(out, tl, tl)
+    return out.select("event_id", "intersects", "crosses", "touches", "overlaps")
+
+
+def q_multipoint_equals(spark, sf_dir):
+    """Multipoint g = points of events [10g, 10g+10); rhs multipoint g
+    = points of events [10g+5, 10g+15) — 5 shared points per pair."""
+    from cuspatial_spark.operators.pairwise import pairwise_multipoint_equals_count
+
+    pts = (
+        _points(spark, sf_dir)
+        .where(F.col("event_id") < 205)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    lhs = pts[pts.event_id < 200]
+    rhs = pts[pts.event_id >= 5]
+    lo = np.arange(0, 201, 10)
+    ro = np.arange(0, 201, 10)
+    rows = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 200)
+        .select(F.floor(F.col("event_id") / 10).alias("group_id"))
+        .distinct()
+        .withColumn("lhs_index", F.col("group_id"))
+        .withColumn("rhs_index", F.col("group_id"))
+    )
+    out = pairwise_multipoint_equals_count(
+        rows,
+        lo, lhs.x.to_numpy(), lhs.y.to_numpy(),
+        ro, rhs.x.to_numpy(), rhs.y.to_numpy(),
+    )
+    return out.select("group_id", "equals_count")
+
+
+def q_binpreds2(spark, sf_dir):
+    from cuspatial_spark.operators import binpreds as bp
+
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y", (F.col("event_id") % 4).alias("polygon_index")
+    )
+    out = bp.polygon_contains_point(pts, _polygons())
+    out = bp.polygon_covers_point(out, _polygons())
+    out = bp.point_within_polygon(out, _polygons())
+    return out.select("event_id", "contains", "covers", "within")
+
+
+def q_geom_equals(spark, sf_dir):
+    """Point event_id vs point (event_id - event_id%2): equal exactly
+    for even ids (same derived coordinates)."""
+    from cuspatial_spark.operators.binpreds import multipoint_geom_equals
+
+    pts = (
+        _points(spark, sf_dir)
+        .where(F.col("event_id") < 200)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    n = len(pts)
+    offsets = np.arange(n + 1)
+    rows = _events(spark, sf_dir).where(F.col("event_id") < 200).select(
+        "event_id",
+        F.col("event_id").alias("lhs_index"),
+        (F.col("event_id") - F.col("event_id") % 2).alias("rhs_index"),
+    )
+    out = multipoint_geom_equals(
+        rows,
+        offsets, pts.x.to_numpy(), pts.y.to_numpy(),
+        offsets, pts.x.to_numpy(), pts.y.to_numpy(),
+    )
+    return out.select("event_id", "geom_equals")
+
+
+def q_derive_traj(spark, sf_dir):
+    from cuspatial_spark.operators import derive_trajectories
+
+    pts = _points(spark, sf_dir).withColumnRenamed("ts", "timestamp")
+    _, offsets = derive_trajectories(pts, object_id="user_id")
+    return offsets.select("user_id", F.col("offset").alias("traj_offset"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed tile-filtered point-in-polygon join of
     geotagged events against the reference polygon layer at sf0.001."""
@@ -440,6 +624,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linestring_distance": q_linestring_distance,
         "knn": q_knn,
         "binpreds": q_binpreds,
+        "pip_pairwise": q_pip_pairwise,
+        "lspoly_distance": q_lspoly_distance,
+        "polygon_distance": q_polygon_distance,
+        "intersection": q_intersection,
+        "binpreds_ls": q_binpreds_ls,
+        "multipoint_equals": q_multipoint_equals,
+        "binpreds2": q_binpreds2,
+        "geom_equals": q_geom_equals,
+        "derive_traj": q_derive_traj,
     }
 
 
@@ -476,6 +669,106 @@ def _psd_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
 def _seg_dist_sql() -> str:
     """Squared point-to-segment distance for (p, s)-aliased rows."""
     return _psd_sql("p.x", "p.y", "s.ax", "s.ay", "s.bx", "s.by")
+
+
+def _proper_sql(ax, ay, bx, by, cx, cy, dx, dy) -> str:
+    """Proper segment intersection ab x cd — same d1..d4 formulation as
+    kernels/geom_distance.py::_segments_intersect."""
+    d1 = f"(({bx} - {ax}) * ({cy} - {ay}) - (({by} - {ay}) * ({cx} - {ax})))"
+    d2 = f"(({bx} - {ax}) * ({dy} - {ay}) - (({by} - {ay}) * ({dx} - {ax})))"
+    d3 = f"(({dx} - {cx}) * ({ay} - {cy}) - (({dy} - {cy}) * ({ax} - {cx})))"
+    d4 = f"(({dx} - {cx}) * ({by} - {cy}) - (({dy} - {cy}) * ({bx} - {cx})))"
+    return f"({d1} * {d2} < 0 AND {d3} * {d4} < 0)"
+
+
+def _segseg_d2_sql(a0x, a0y, a1x, a1y, b0x, b0y, b1x, b1y) -> str:
+    """Min of the 4 endpoint-to-segment squared distances — the
+    non-intersecting branch of _min_dist_segments_to_segments."""
+    return (
+        "LEAST("
+        + ", ".join(
+            [
+                _psd_sql(a0x, a0y, b0x, b0y, b1x, b1y),
+                _psd_sql(a1x, a1y, b0x, b0y, b1x, b1y),
+                _psd_sql(b0x, b0y, a0x, a0y, a1x, a1y),
+                _psd_sql(b1x, b1y, a0x, a0y, a1x, a1y),
+            ]
+        )
+        + ")"
+    )
+
+
+def _poly_first_vertex_values() -> str:
+    """pv(poly_id, fx, fy): first ring vertex per polygon — the vertex
+    the polygon-distance kernel uses for its containment test."""
+    ro = np.asarray(RING_OFFSETS)
+    po = np.asarray(POLY_OFFSETS)
+    rows = []
+    for p in range(len(po) - 1):
+        v = ro[po[p]]
+        rows.append(
+            f"({p}, CAST({POLY_X[v]!r} AS DOUBLE), CAST({POLY_Y[v]!r} AS DOUBLE))"
+        )
+    return ",\n".join(rows)
+
+
+def _ls_intersection_calc_sql(li_expr: str, ri_expr: str) -> str:
+    """CTE chain computing the single-segment intersection of
+    tl[li] x tl[ri] per event — mirrors
+    kernels/intersection.py::_segment_pair_intersection (non-degenerate
+    segments; integer coordinates make every comparison exact).
+    Produces relation `kinds` with k (0 none / 1 point / 2 segment),
+    point/segment params, and segment-length columns."""
+    return f"""
+    rows AS (SELECT p.event_id, {li_expr} AS li, {ri_expr} AS ri FROM pts p),
+    geo AS (
+      SELECT r.event_id, r.li, r.ri,
+             a.ax, a.ay, a.bx, a.by,
+             c.ax AS cx, c.ay AS cy, c.bx AS dx, c.by AS dy
+      FROM rows r
+      JOIN tl a ON a.line_id = r.li
+      JOIN tl c ON c.line_id = r.ri
+    ),
+    calc AS (
+      SELECT *, (bx - ax) AS rx, (by - ay) AS ry,
+             (dx - cx) AS sx, (dy - cy) AS sy,
+             (cx - ax) AS acx, (cy - ay) AS acy
+      FROM geo
+    ),
+    calc2 AS (
+      SELECT *, rx * sy - ry * sx AS denom,
+             acx * ry - acy * rx AS cross_ac_r,
+             rx * rx + ry * ry AS rr
+      FROM calc
+    ),
+    calc3 AS (
+      SELECT *,
+             (acx * rx + acy * ry) / rr AS t0,
+             (acx * rx + acy * ry) / rr + (sx * rx + sy * ry) / rr AS t1,
+             CASE WHEN denom != 0 THEN (acx * sy - acy * sx) / denom END AS t,
+             CASE WHEN denom != 0 THEN (acx * ry - acy * rx) / denom END AS u
+      FROM calc2
+    ),
+    calc4 AS (
+      SELECT *, greatest(least(t0, t1), 0.0) AS lo, least(greatest(t0, t1), 1.0) AS hi
+      FROM calc3
+    ),
+    kinds AS (
+      SELECT *,
+             CASE WHEN denom = 0 THEN
+                    CASE WHEN cross_ac_r != 0 THEN 0
+                         WHEN lo > hi THEN 0
+                         WHEN lo = hi THEN 1
+                         ELSE 2 END
+                  ELSE
+                    CASE WHEN t >= 0 AND t <= 1 AND u >= 0 AND u <= 1 THEN 1 ELSE 0 END
+             END AS k,
+             CASE WHEN denom != 0 THEN ax + t * rx ELSE ax + lo * rx END AS px,
+             CASE WHEN denom != 0 THEN ay + t * ry ELSE ay + lo * ry END AS py,
+             ax + hi * rx AS qx, ay + hi * ry AS qy
+      FROM calc4
+    )
+    """
 
 
 _SHINGLE_SQL = """
@@ -568,6 +861,7 @@ def oracle_sql() -> dict[str, str]:
     pts = f"pts AS ({POINTS_SQL})"
     segs = f"segs(poly_id, ax, ay, bx, by) AS (VALUES {_segments_values()})"
     lsegs = f"lsegs(line_id, seg_id, ax, ay, bx, by) AS (VALUES {_line_segments_values()})"
+    tl = f"tl(line_id, ax, ay, bx, by) AS (VALUES {_tl_values()})"
 
     lang_scores = []
     from cuspatial_spark.textops.analysis import LANG_MARKERS
@@ -909,5 +1203,140 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5,
                    'unknown' AS payload_format
             FROM documents
+        """,
+        "pip_pairwise": f"""
+            WITH {pts}, {segs},
+            agg AS (
+              SELECT p.event_id, sum({_crossing_sql()}) AS ncross
+              FROM pts p JOIN segs s ON s.poly_id = p.event_id % 4
+              GROUP BY p.event_id, p.x, p.y
+            )
+            SELECT event_id, ncross % 2 = 1 AS in_polygon FROM agg
+        """,
+        "lspoly_distance": f"""
+            WITH {pts}, {segs}, {tl},
+            -- kernel: 0 if line start inside polygon OR any proper
+            -- segment intersection, else min 4-endpoint distance over
+            -- (line seg x ring seg); ring segments run prev->current
+            -- = (s.bx,s.by)->(s.ax,s.ay)
+            agg AS (
+              SELECT p.event_id,
+                     sum({_crossing_sql('t.ax', 't.ay', 's')}) AS ncross,
+                     bool_or({_proper_sql('t.ax', 't.ay', 't.bx', 't.by',
+                                          's.bx', 's.by', 's.ax', 's.ay')}) AS hit,
+                     min({_segseg_d2_sql('t.ax', 't.ay', 't.bx', 't.by',
+                                         's.bx', 's.by', 's.ax', 's.ay')}) AS mind2
+              FROM pts p
+              JOIN tl t ON t.line_id = p.event_id % 5
+              JOIN segs s ON s.poly_id = p.event_id % 4
+              GROUP BY p.event_id
+            )
+            SELECT event_id,
+                   CASE WHEN ncross % 2 = 1 OR hit THEN 0.0 ELSE sqrt(mind2) END AS distance
+            FROM agg
+        """,
+        "polygon_distance": f"""
+            WITH {pts}, {segs}, pv(poly_id, fx, fy) AS (VALUES {_poly_first_vertex_values()}),
+            rows AS (SELECT event_id, event_id % 4 AS lp, (event_id + 1) % 4 AS rp FROM pts),
+            lc AS (
+              SELECT r.event_id, sum({_crossing_sql('v.fx', 'v.fy', 's')}) AS nl
+              FROM rows r JOIN pv v ON v.poly_id = r.lp JOIN segs s ON s.poly_id = r.rp
+              GROUP BY r.event_id
+            ),
+            rc AS (
+              SELECT r.event_id, sum({_crossing_sql('v.fx', 'v.fy', 's')}) AS nr
+              FROM rows r JOIN pv v ON v.poly_id = r.rp JOIN segs s ON s.poly_id = r.lp
+              GROUP BY r.event_id
+            ),
+            dd AS (
+              SELECT r.event_id,
+                     bool_or({_proper_sql('sa.bx', 'sa.by', 'sa.ax', 'sa.ay',
+                                          'sb.bx', 'sb.by', 'sb.ax', 'sb.ay')}) AS hit,
+                     min({_segseg_d2_sql('sa.bx', 'sa.by', 'sa.ax', 'sa.ay',
+                                         'sb.bx', 'sb.by', 'sb.ax', 'sb.ay')}) AS mind2
+              FROM rows r JOIN segs sa ON sa.poly_id = r.lp JOIN segs sb ON sb.poly_id = r.rp
+              GROUP BY r.event_id
+            )
+            SELECT lc.event_id,
+                   CASE WHEN lc.nl % 2 = 1 OR rc.nr % 2 = 1 OR dd.hit
+                        THEN 0.0 ELSE sqrt(dd.mind2) END AS distance
+            FROM lc JOIN rc ON rc.event_id = lc.event_id
+                    JOIN dd ON dd.event_id = lc.event_id
+        """,
+        "intersection": f"""
+            WITH {pts}, {tl},
+            {_ls_intersection_calc_sql('p.event_id % 5',
+                                       '(p.event_id + 1 + 2 * (p.event_id % 2)) % 5')}
+            SELECT event_id, li AS lhs_index, ri AS rhs_index,
+                   CASE WHEN k = 1 THEN 0 ELSE 1 END AS kind,
+                   round(px, 6) AS c1, round(py, 6) AS c2,
+                   CASE WHEN k = 2 THEN round(qx, 6) END AS c3,
+                   CASE WHEN k = 2 THEN round(qy, 6) END AS c4,
+                   CAST(0 AS BIGINT) AS lhs_segment_id,
+                   CAST(0 AS BIGINT) AS rhs_segment_id
+            FROM kinds WHERE k != 0
+        """,
+        "binpreds_ls": f"""
+            WITH {pts}, {tl},
+            {_ls_intersection_calc_sql('0', 'p.event_id % 5')}
+            SELECT event_id,
+                   ({_proper_sql('ax', 'ay', 'bx', 'by', 'cx', 'cy', 'dx', 'dy')})
+                   OR ({_segseg_d2_sql('ax', 'ay', 'bx', 'by', 'cx', 'cy', 'dx', 'dy')} = 0.0)
+                     AS intersects,
+                   {_proper_sql('ax', 'ay', 'bx', 'by', 'cx', 'cy', 'dx', 'dy')} AS crosses,
+                   k = 1 AND ((px = ax AND py = ay) OR (px = bx AND py = by)
+                           OR (px = cx AND py = cy) OR (px = dx AND py = dy)) AS touches,
+                   k = 2
+                   AND sqrt((qx - px) * (qx - px) + (qy - py) * (qy - py))
+                       < sqrt(rx * rx + ry * ry) - 1e-12
+                   AND sqrt((qx - px) * (qx - px) + (qy - py) * (qy - py))
+                       < sqrt(sx * sx + sy * sy) - 1e-12
+                     AS overlaps
+            FROM kinds
+        """,
+        "multipoint_equals": f"""
+            WITH {pts},
+            l AS (SELECT CAST(floor(event_id / 10) AS BIGINT) AS g, x, y
+                  FROM pts WHERE event_id < 200),
+            r AS (SELECT CAST(floor((event_id - 5) / 10) AS BIGINT) AS g, x, y
+                  FROM pts WHERE event_id >= 5 AND event_id < 205)
+            SELECT l.g AS group_id, count(m.x) AS equals_count
+            FROM l LEFT JOIN (SELECT DISTINCT g, x, y FROM r) m
+              ON m.g = l.g AND m.x = l.x AND m.y = l.y
+            GROUP BY l.g
+        """,
+        "binpreds2": f"""
+            WITH {pts}, {segs},
+            cand AS (
+              SELECT p.event_id, p.x, p.y, s.ax, s.ay, s.bx, s.by
+              FROM pts p JOIN segs s ON s.poly_id = p.event_id % 4
+            ),
+            agg AS (
+              SELECT event_id,
+                     sum({_crossing_sql('x', 'y', 'cand')}) AS ncross,
+                     min({_psd_sql('x', 'y', 'cand.bx', 'cand.by', 'cand.ax', 'cand.ay')}) AS mind2
+              FROM cand
+              GROUP BY event_id, x, y
+            )
+            SELECT event_id,
+                   (ncross % 2 = 1) OR (sqrt(mind2) = 0.0) AS contains,
+                   (ncross % 2 = 1) OR (sqrt(mind2) = 0.0) AS covers,
+                   ncross % 2 = 1 AS within
+            FROM agg
+        """,
+        "geom_equals": f"""
+            WITH {pts},
+            l AS (SELECT event_id, x, y FROM pts WHERE event_id < 200),
+            r AS (SELECT event_id, x, y FROM pts WHERE event_id < 200)
+            SELECT l.event_id, (l.x = r.x AND l.y = r.y) AS geom_equals
+            FROM l JOIN r ON r.event_id = l.event_id - (l.event_id % 2)
+        """,
+        "derive_traj": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(COALESCE(sum(n) OVER (ORDER BY user_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS traj_offset
+            FROM c
         """,
     }

@@ -65,6 +65,29 @@ def _tl_values() -> str:
     return ",\n".join(rows)
 
 
+# second synthetic single-segment layer aimed at the fixture polygons:
+# M0 strictly inside polygon 1, M1 crosses polygon 1, M2 outside all
+TL2_OFFSETS = [0, 2, 4, 6]
+TL2_X = [6.0, 6.4, 4.0, 8.0, 0.0, 1.0]
+TL2_Y = [3.0, 3.2, 3.0, 3.0, 7.0, 7.0]
+
+
+def _tlines2():
+    from cuspatial_spark.geometry import LinestringArrays
+
+    return LinestringArrays(TL2_OFFSETS, TL2_X, TL2_Y)
+
+
+def _tl2_values() -> str:
+    rows = []
+    for i in range(3):
+        rows.append(
+            f"({i}, CAST({TL2_X[2*i]!r} AS DOUBLE), CAST({TL2_Y[2*i]!r} AS DOUBLE), "
+            f"CAST({TL2_X[2*i+1]!r} AS DOUBLE), CAST({TL2_Y[2*i+1]!r} AS DOUBLE))"
+        )
+    return ",\n".join(rows)
+
+
 def _polygons():
     from cuspatial_spark.geometry import PolygonArrays
 
@@ -582,6 +605,37 @@ def q_geom_equals(spark, sf_dir):
     return out.select("event_id", "geom_equals")
 
 
+def q_binpreds3(spark, sf_dir):
+    """Extended binpred matrix: polygon x polygon, point x linestring,
+    linestring x polygon combos."""
+    from cuspatial_spark.operators import binpreds as bp
+
+    polys = _polygons()
+    rows = _points(spark, sf_dir).select(
+        "event_id", "x", "y",
+        (F.col("event_id") % 4).alias("lhs_index"),
+        ((F.col("event_id") + 1) % 4).alias("rhs_index"),
+        (F.col("event_id") % 5).alias("linestring_index"),
+        (F.col("event_id") % 3).alias("li2"),
+        (F.col("event_id") % 4).alias("polygon_index"),
+    )
+    out = bp.polygon_intersects_polygon(rows, polys, polys, result="pp_intersects")
+    out = bp.polygon_disjoint_polygon(out, polys, polys, result="pp_disjoint")
+    out = bp.polygon_contains_polygon(out, polys, polys, result="pp_contains")
+    out = bp.point_intersects_linestring(out, _tlines(), result="ptls_intersects")
+    out = bp.point_disjoint_linestring(out, _tlines(), result="ptls_disjoint")
+    out = bp.linestring_within_polygon(
+        out, _tlines2(), polys, line_idx="li2", result="ls_within"
+    )
+    out = bp.linestring_crosses_polygon(
+        out, _tlines2(), polys, line_idx="li2", result="ls_crosses"
+    )
+    return out.select(
+        "event_id", "pp_intersects", "pp_disjoint", "pp_contains",
+        "ptls_intersects", "ptls_disjoint", "ls_within", "ls_crosses",
+    )
+
+
 def q_derive_traj(spark, sf_dir):
     from cuspatial_spark.operators import derive_trajectories
 
@@ -632,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipoint_equals": q_multipoint_equals,
         "binpreds2": q_binpreds2,
         "geom_equals": q_geom_equals,
+        "binpreds3": q_binpreds3,
         "derive_traj": q_derive_traj,
     }
 
@@ -1330,6 +1385,81 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT event_id, x, y FROM pts WHERE event_id < 200)
             SELECT l.event_id, (l.x = r.x AND l.y = r.y) AS geom_equals
             FROM l JOIN r ON r.event_id = l.event_id - (l.event_id % 2)
+        """,
+        "binpreds3": f"""
+            WITH {pts}, {segs}, {tl},
+            tl2(line_id, ax, ay, bx, by) AS (VALUES {_tl2_values()}),
+            rows AS (
+              SELECT event_id, x, y, event_id % 4 AS lp, (event_id + 1) % 4 AS rp,
+                     event_id % 5 AS lsi, event_id % 3 AS li2, event_id % 4 AS pi
+              FROM pts
+            ),
+            pv(poly_id, fx, fy) AS (VALUES {_poly_first_vertex_values()}),
+            lc AS (
+              SELECT r.event_id, sum({_crossing_sql('v.fx', 'v.fy', 's')}) AS nl
+              FROM rows r JOIN pv v ON v.poly_id = r.lp JOIN segs s ON s.poly_id = r.rp
+              GROUP BY r.event_id
+            ),
+            rc AS (
+              SELECT r.event_id, sum({_crossing_sql('v.fx', 'v.fy', 's')}) AS nr
+              FROM rows r JOIN pv v ON v.poly_id = r.rp JOIN segs s ON s.poly_id = r.lp
+              GROUP BY r.event_id
+            ),
+            dd AS (
+              SELECT r.event_id,
+                     bool_or({_proper_sql('sa.bx', 'sa.by', 'sa.ax', 'sa.ay',
+                                          'sb.bx', 'sb.by', 'sb.ax', 'sb.ay')}) AS hit,
+                     min({_segseg_d2_sql('sa.bx', 'sa.by', 'sa.ax', 'sa.ay',
+                                         'sb.bx', 'sb.by', 'sb.ax', 'sb.ay')}) AS mind2
+              FROM rows r JOIN segs sa ON sa.poly_id = r.lp JOIN segs sb ON sb.poly_id = r.rp
+              GROUP BY r.event_id
+            ),
+            cva AS (
+              SELECT r.event_id, sv.ax AS vx, sv.ay AS vy,
+                     sum({_crossing_sql('sv.ax', 'sv.ay', 's')}) AS nc,
+                     min({_psd_sql('sv.ax', 'sv.ay', 's.bx', 's.by', 's.ax', 's.ay')}) AS md2
+              FROM rows r JOIN segs sv ON sv.poly_id = r.rp JOIN segs s ON s.poly_id = r.lp
+              GROUP BY r.event_id, sv.ax, sv.ay
+            ),
+            cv AS (
+              SELECT event_id, bool_and(nc % 2 = 1 OR md2 = 0) AS allin
+              FROM cva GROUP BY event_id
+            ),
+            ptd AS (
+              SELECT r.event_id,
+                     {_psd_sql('r.x', 'r.y', 't.ax', 't.ay', 't.bx', 't.by')} AS d2
+              FROM rows r JOIN tl t ON t.line_id = r.lsi
+            ),
+            wp AS (
+              SELECT r.event_id,
+                     sum({_crossing_sql('m.ax', 'm.ay', 's')}) AS na,
+                     sum({_crossing_sql('m.bx', 'm.by', 's')}) AS nb,
+                     min({_psd_sql('m.ax', 'm.ay', 's.bx', 's.by', 's.ax', 's.ay')}) AS da2,
+                     min({_psd_sql('m.bx', 'm.by', 's.bx', 's.by', 's.ax', 's.ay')}) AS db2,
+                     bool_or({_proper_sql('m.ax', 'm.ay', 'm.bx', 'm.by',
+                                          's.bx', 's.by', 's.ax', 's.ay')}) AS hit
+              FROM rows r JOIN tl2 m ON m.line_id = r.li2 JOIN segs s ON s.poly_id = r.pi
+              GROUP BY r.event_id
+            )
+            SELECT r.event_id,
+                   (lc.nl % 2 = 1) OR (rc.nr % 2 = 1) OR dd.hit OR dd.mind2 = 0 AS pp_intersects,
+                   NOT ((lc.nl % 2 = 1) OR (rc.nr % 2 = 1) OR dd.hit OR dd.mind2 = 0) AS pp_disjoint,
+                   cv.allin AND NOT dd.hit AS pp_contains,
+                   ptd.d2 = 0 AS ptls_intersects,
+                   NOT (ptd.d2 = 0) AS ptls_disjoint,
+                   (wp.na % 2 = 1 OR wp.da2 = 0) AND (wp.nb % 2 = 1 OR wp.db2 = 0)
+                     AND NOT wp.hit AS ls_within,
+                   wp.hit
+                     OR ((wp.na % 2 = 1 AND wp.da2 > 0) AND (wp.nb % 2 = 0 AND wp.db2 > 0))
+                     OR ((wp.nb % 2 = 1 AND wp.db2 > 0) AND (wp.na % 2 = 0 AND wp.da2 > 0))
+                     AS ls_crosses
+            FROM rows r
+            JOIN lc ON lc.event_id = r.event_id
+            JOIN rc ON rc.event_id = r.event_id
+            JOIN dd ON dd.event_id = r.event_id
+            JOIN cv ON cv.event_id = r.event_id
+            JOIN ptd ON ptd.event_id = r.event_id
+            JOIN wp ON wp.event_id = r.event_id
         """,
         "derive_traj": """
             WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)

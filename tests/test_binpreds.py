@@ -78,6 +78,82 @@ class TestLinestringPreds:
         assert list(gc["crosses"]) == [True, False, False]
 
 
+class TestPolygonPolygonPreds:
+    @pytest.fixture(scope="class")
+    def layers(self):
+        # 0: unit square; 1: inner square; 2: far square; 3: overlapping square
+        return PolygonArrays(
+            [0, 1, 2, 3, 4], [0, 5, 10, 15, 20],
+            [0.0, 1.0, 1.0, 0.0, 0.0,
+             0.25, 0.75, 0.75, 0.25, 0.25,
+             2.0, 3.0, 3.0, 2.0, 2.0,
+             0.5, 1.5, 1.5, 0.5, 0.5],
+            [0.0, 0.0, 1.0, 1.0, 0.0,
+             0.25, 0.25, 0.75, 0.75, 0.25,
+             2.0, 2.0, 3.0, 3.0, 2.0,
+             0.5, 0.5, 1.5, 1.5, 0.5],
+        )
+
+    def test_polygon_polygon_intersects_disjoint_contains(self, spark, layers):
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [0, 1, 2], "lhs_index": [0, 0, 0], "rhs_index": [1, 2, 3]})
+        )
+        gi = bp.polygon_intersects_polygon(df, layers, layers).orderBy("id").toPandas()
+        gd = bp.polygon_disjoint_polygon(df, layers, layers).orderBy("id").toPandas()
+        gc = bp.polygon_contains_polygon(df, layers, layers).orderBy("id").toPandas()
+        assert list(gi["intersects"]) == [True, False, True]  # contained / far / overlap
+        assert list(gd["disjoint"]) == [False, True, False]
+        assert list(gc["contains"]) == [True, False, False]
+
+
+class TestPointLinestringPreds:
+    def test_point_on_linestring(self, spark):
+        lines = LinestringArrays([0, 3], [0.0, 1.0, 1.0], [0.0, 0.0, 1.0])
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "id": [0, 1, 2, 3],
+                    "x": [0.5, 0.0, 1.0, 0.5],
+                    "y": [0.0, 0.0, 0.5, 0.1],
+                    "linestring_index": [0, 0, 0, 0],
+                }
+            )
+        )
+        gi = bp.point_intersects_linestring(df, lines).orderBy("id").toPandas()
+        gd = bp.point_disjoint_linestring(df, lines).orderBy("id").toPandas()
+        # mid-segment, start vertex, mid of 2nd segment, off-line
+        assert list(gi["intersects"]) == [True, True, True, False]
+        assert list(gd["disjoint"]) == [False, False, False, True]
+
+    def test_point_intersects_point(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [0, 1], "x": [1.0, 1.0], "y": [2.0, 2.0],
+                          "x2": [1.0, 1.0], "y2": [2.0, 2.5]})
+        )
+        got = bp.point_intersects_point(df).orderBy("id").toPandas()
+        assert list(got["intersects"]) == [True, False]
+
+
+class TestLinestringPolygonPreds:
+    def test_within_and_crosses(self, spark, square):
+        lines = LinestringArrays(
+            [0, 2, 4, 6, 8],
+            [0.2, 0.8, 0.5, 1.5, 2.0, 3.0, 0.0, 1.0],
+            [0.2, 0.8, 0.5, 0.5, 2.0, 3.0, 0.0, 0.0],
+        )
+        # 0: fully inside; 1: pokes out (crosses); 2: outside; 3: along boundary edge
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": [0, 1, 2, 3], "linestring_index": [0, 1, 2, 3],
+                 "polygon_index": [0, 0, 0, 0]}
+            )
+        )
+        gw = bp.linestring_within_polygon(df, lines, square).orderBy("id").toPandas()
+        gc = bp.linestring_crosses_polygon(df, lines, square).orderBy("id").toPandas()
+        assert list(gw["within"]) == [True, False, False, True]
+        assert list(gc["crosses"]) == [False, True, False, False]
+
+
 class TestEquals:
     def test_multipoint_geom_equals(self, spark):
         df = spark.createDataFrame(

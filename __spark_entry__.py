@@ -605,6 +605,40 @@ def q_geom_equals(spark, sf_dir):
     return out.select("event_id", "geom_equals")
 
 
+def q_multipoint_distance(spark, sf_dir):
+    """Min set distance between multipoint g (events [10g,10g+10)) and
+    shifted multipoint g (events [10g+25, 10g+35)) — nonzero values."""
+    from cuspatial_spark.geometry import MultipointArrays
+    from cuspatial_spark.operators.pairwise import pairwise_multipoint_distance
+
+    pts = (
+        _points(spark, sf_dir)
+        .where(F.col("event_id") < 235)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    lhs = MultipointArrays(
+        np.arange(0, 201, 10),
+        pts[pts.event_id < 200].x.to_numpy(),
+        pts[pts.event_id < 200].y.to_numpy(),
+    )
+    rhs_pts = pts[pts.event_id >= 25]
+    rhs = MultipointArrays(
+        np.arange(0, 201, 10), rhs_pts.x.to_numpy(), rhs_pts.y.to_numpy()
+    )
+    rows = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") < 200)
+        .select(F.floor(F.col("event_id") / 10).alias("group_id"))
+        .distinct()
+        .withColumn("lhs_index", F.col("group_id"))
+        .withColumn("rhs_index", F.col("group_id"))
+    )
+    return pairwise_multipoint_distance(rows, lhs, rhs).select(
+        "group_id", "distance"
+    )
+
+
 def q_binpreds3(spark, sf_dir):
     """Extended binpred matrix: polygon x polygon, point x linestring,
     linestring x polygon combos."""
@@ -684,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection": q_intersection,
         "binpreds_ls": q_binpreds_ls,
         "multipoint_equals": q_multipoint_equals,
+        "multipoint_distance": q_multipoint_distance,
         "binpreds2": q_binpreds2,
         "geom_equals": q_geom_equals,
         "binpreds3": q_binpreds3,
@@ -1358,6 +1393,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.g AS group_id, count(m.x) AS equals_count
             FROM l LEFT JOIN (SELECT DISTINCT g, x, y FROM r) m
               ON m.g = l.g AND m.x = l.x AND m.y = l.y
+            GROUP BY l.g
+        """,
+        "multipoint_distance": f"""
+            WITH {pts},
+            l AS (SELECT CAST(floor(event_id / 10) AS BIGINT) AS g, x, y
+                  FROM pts WHERE event_id < 200),
+            r AS (SELECT CAST(floor((event_id - 25) / 10) AS BIGINT) AS g, x, y
+                  FROM pts WHERE event_id >= 25 AND event_id < 225)
+            SELECT l.g AS group_id,
+                   sqrt(min((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)))
+                     AS distance
+            FROM l JOIN r ON r.g = l.g
             GROUP BY l.g
         """,
         "binpreds2": f"""

@@ -85,6 +85,52 @@ class PolygonArrays:
 
 
 @dataclass
+class MultipointArrays:
+    """Flat multipoint layer: multipoint i spans points
+    part_offsets[i] .. part_offsets[i+1]-1 (reference
+    GeoSeries.from_multipoints_xy, geoseries.py:700-740)."""
+
+    part_offsets: np.ndarray
+    x: np.ndarray
+    y: np.ndarray
+    ids: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        self.part_offsets = np.asarray(self.part_offsets, dtype=np.int64)
+        self.x = _as_f(self.x)
+        self.y = _as_f(self.y)
+        if self.ids is None:
+            self.ids = np.arange(len(self), dtype=np.int64)
+        else:
+            self.ids = np.asarray(self.ids, dtype=np.int64)
+
+    @classmethod
+    def from_multipoints_xy(cls, xy, part_offsets, ids=None):
+        """Same argument shape as GeoSeries.from_multipoints_xy:
+        interleaved xy + geometry offsets."""
+        xy = _as_f(xy)
+        return cls(part_offsets, xy[::2].copy(), xy[1::2].copy(), ids)
+
+    def __len__(self):
+        return len(self.part_offsets) - 1
+
+    def bounding_boxes(self, expansion_radius: float = 0.0):
+        o = self.part_offsets
+        n = len(self)
+        minx = np.empty(n)
+        miny = np.empty(n)
+        maxx = np.empty(n)
+        maxy = np.empty(n)
+        for i in range(n):
+            minx[i] = self.x[o[i]:o[i + 1]].min()
+            maxx[i] = self.x[o[i]:o[i + 1]].max()
+            miny[i] = self.y[o[i]:o[i + 1]].min()
+            maxy[i] = self.y[o[i]:o[i + 1]].max()
+        r = expansion_radius
+        return minx - r, miny - r, maxx + r, maxy + r
+
+
+@dataclass
 class LinestringArrays:
     """Flat (single-part) linestring layer: linestring i spans vertices
     part_offsets[i] .. part_offsets[i+1]-1."""

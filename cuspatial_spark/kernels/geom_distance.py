@@ -231,6 +231,86 @@ def pairwise_point_linestring_nearest_points(
     return seg_out, nx_out, ny_out
 
 
+def pairwise_multipoint_distance(
+    lhs_idx, rhs_idx, l_offsets, lx, ly, r_offsets, rx, ry
+) -> np.ndarray:
+    """Row i: min Euclidean distance between multipoint sets
+    lhs_idx[i] and rhs_idx[i] (reference
+    core/spatial/distance.py:169-240, CollectionType.MULTI branches;
+    kernel cpp/include/cuspatial/detail/distance/point_distance.cuh)."""
+    l_offsets = np.asarray(l_offsets, dtype=np.int64)
+    r_offsets = np.asarray(r_offsets, dtype=np.int64)
+    lx = np.asarray(lx, dtype=np.float64)
+    ly = np.asarray(ly, dtype=np.float64)
+    rx = np.asarray(rx, dtype=np.float64)
+    ry = np.asarray(ry, dtype=np.float64)
+    out = np.empty(len(lhs_idx), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(lhs_idx, rhs_idx)):
+        ls, le = l_offsets[a], l_offsets[a + 1]
+        rs, re = r_offsets[b], r_offsets[b + 1]
+        d2 = (lx[ls:le, None] - rx[None, rs:re]) ** 2 + (
+            ly[ls:le, None] - ry[None, rs:re]
+        ) ** 2
+        out[i] = np.sqrt(d2.min()) if d2.size else np.nan
+    return out
+
+
+def pairwise_multipoint_linestring_distance(
+    mp_idx, line_idx, m_offsets, mx, my, l_offsets, lx, ly
+) -> np.ndarray:
+    """Row i: min over multipoint mp_idx[i]'s points of the
+    point-to-linestring distance (reference multipoint branch of
+    pairwise_point_linestring_distance)."""
+    m_offsets = np.asarray(m_offsets, dtype=np.int64)
+    l_offsets = np.asarray(l_offsets, dtype=np.int64)
+    mx = np.asarray(mx, dtype=np.float64)
+    my = np.asarray(my, dtype=np.float64)
+    lx = np.asarray(lx, dtype=np.float64)
+    ly = np.asarray(ly, dtype=np.float64)
+    out = np.empty(len(mp_idx), dtype=np.float64)
+    for i, (m, li) in enumerate(zip(mp_idx, line_idx)):
+        ms, me = m_offsets[m], m_offsets[m + 1]
+        v0, v1 = _feature_segments(l_offsets, int(li))
+        d2 = point_segment_distance_squared(
+            mx[ms:me, None], my[ms:me, None],
+            lx[v0][None, :], ly[v0][None, :], lx[v1][None, :], ly[v1][None, :],
+        )
+        out[i] = np.sqrt(d2.min()) if d2.size else np.nan
+    return out
+
+
+def pairwise_multipoint_polygon_distance(
+    mp_idx, poly_idx, m_offsets, mx, my, poly_offsets, ring_offsets, px, py
+) -> np.ndarray:
+    """Row i: 0 if any point of the multipoint is inside the polygon,
+    else min point-to-ring-edge distance over the set (reference
+    multipoint branch of pairwise_point_polygon_distance)."""
+    m_offsets = np.asarray(m_offsets, dtype=np.int64)
+    poly_offsets = np.asarray(poly_offsets, dtype=np.int64)
+    ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    mx = np.asarray(mx, dtype=np.float64)
+    my = np.asarray(my, dtype=np.float64)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.empty(len(mp_idx), dtype=np.float64)
+    for i, (m, p) in enumerate(zip(mp_idx, poly_idx)):
+        ms, me = m_offsets[m], m_offsets[m + 1]
+        r0, r1 = poly_offsets[p], poly_offsets[p + 1]
+        inside = _pip_one_polygon(
+            mx[ms:me], my[ms:me], ring_offsets[r0:r1 + 1], px, py
+        )
+        if inside.any():
+            out[i] = 0.0
+            continue
+        v0, v1 = _ring_segments_of_polygon(poly_offsets, ring_offsets, int(p))
+        d2 = point_segment_distance_squared(
+            mx[ms:me, None], my[ms:me, None],
+            px[v0][None, :], py[v0][None, :], px[v1][None, :], py[v1][None, :],
+        )
+        out[i] = np.sqrt(d2.min()) if d2.size else np.nan
+    return out
+
+
 def pairwise_multipoint_equals_count(
     l_offsets, lx, ly, r_offsets, rx, ry
 ) -> np.ndarray:

@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame
 from . import pairwise as pw
 from .distance import pairwise_point_distance
 
-POINT, LINESTRING, POLYGON = "point", "linestring", "polygon"
+POINT, MULTIPOINT, LINESTRING, POLYGON = (
+    "point",
+    "multipoint",
+    "linestring",
+    "polygon",
+)
 
 
 def distance(
@@ -57,4 +62,20 @@ def distance(
         return pw.pairwise_linestring_polygon_distance(df, rhs_layer, lhs_layer, **kw)
     if pair == (POLYGON, POLYGON):
         return pw.pairwise_polygon_distance(df, lhs_layer, rhs_layer, **kw)
+    # multipoint rows mirror the reference's CollectionType.MULTI
+    # dispatch entries (distance_dispatch.py:49-124)
+    if pair == (MULTIPOINT, MULTIPOINT):
+        return pw.pairwise_multipoint_distance(df, lhs_layer, rhs_layer, **kw)
+    if pair == (POINT, MULTIPOINT):
+        return pw.pairwise_point_multipoint_distance(df, rhs_layer, **kw)
+    if pair == (MULTIPOINT, POINT):
+        return pw.pairwise_point_multipoint_distance(df, lhs_layer, **kw)
+    if pair == (MULTIPOINT, LINESTRING):
+        return pw.pairwise_multipoint_linestring_distance(df, lhs_layer, rhs_layer, **kw)
+    if pair == (LINESTRING, MULTIPOINT):
+        return pw.pairwise_multipoint_linestring_distance(df, rhs_layer, lhs_layer, **kw)
+    if pair == (MULTIPOINT, POLYGON):
+        return pw.pairwise_multipoint_polygon_distance(df, lhs_layer, rhs_layer, **kw)
+    if pair == (POLYGON, MULTIPOINT):
+        return pw.pairwise_multipoint_polygon_distance(df, rhs_layer, lhs_layer, **kw)
     raise NotImplementedError(f"distance not implemented for {pair}")

@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..geometry import LinestringArrays, PolygonArrays
+from ..geometry import LinestringArrays, MultipointArrays, PolygonArrays
 from ..kernels import geom_distance as gk
 from ..kernels.pip import point_in_polygon_pairs
 
@@ -139,6 +139,98 @@ def pairwise_polygon_distance(
             pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy(),
             lhs.part_offsets, lhs.ring_offsets, lhs.x, lhs.y,
             rhs.part_offsets, rhs.ring_offsets, rhs.x, rhs.y,
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_multipoint_distance(
+    df: DataFrame,
+    lhs: MultipointArrays,
+    rhs: MultipointArrays,
+    lhs_idx: str = "lhs_index",
+    rhs_idx: str = "rhs_index",
+    result: str = "distance",
+) -> DataFrame:
+    """Row i: min distance between multipoint sets (the multipoint
+    branches of reference pairwise_point_distance,
+    core/spatial/distance.py:169-240)."""
+    lo, lx, ly = lhs.part_offsets, lhs.x, lhs.y
+    ro, rx, ry = rhs.part_offsets, rhs.x, rhs.y
+
+    def fn(pdf):
+        pdf[result] = gk.pairwise_multipoint_distance(
+            pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy(), lo, lx, ly, ro, rx, ry
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_point_multipoint_distance(
+    df: DataFrame,
+    mpoints: MultipointArrays,
+    x: str = "x",
+    y: str = "y",
+    mp_idx: str = "multipoint_index",
+    result: str = "distance",
+) -> DataFrame:
+    """Row i: min distance from point (x, y) to multipoint mp_idx[i]
+    — the (POINT, MULTIPOINT) dispatch row."""
+    mo, mx, my = mpoints.part_offsets, mpoints.x, mpoints.y
+
+    def fn(pdf):
+        xs = pdf[x].to_numpy()
+        ys = pdf[y].to_numpy()
+        mi = pdf[mp_idx].to_numpy()
+        out = np.empty(len(pdf), dtype=np.float64)
+        for m in np.unique(mi):
+            sel = mi == m
+            s, e = int(mo[m]), int(mo[m + 1])
+            d2 = (xs[sel, None] - mx[None, s:e]) ** 2 + (ys[sel, None] - my[None, s:e]) ** 2
+            out[sel] = np.sqrt(d2.min(axis=1))
+        pdf[result] = out
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_multipoint_linestring_distance(
+    df: DataFrame,
+    mpoints: MultipointArrays,
+    linestrings: LinestringArrays,
+    mp_idx: str = "multipoint_index",
+    line_idx: str = "linestring_index",
+    result: str = "distance",
+) -> DataFrame:
+    mo, mx, my = mpoints.part_offsets, mpoints.x, mpoints.y
+    lo, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
+
+    def fn(pdf):
+        pdf[result] = gk.pairwise_multipoint_linestring_distance(
+            pdf[mp_idx].to_numpy(), pdf[line_idx].to_numpy(), mo, mx, my, lo, lx, ly
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+
+
+def pairwise_multipoint_polygon_distance(
+    df: DataFrame,
+    mpoints: MultipointArrays,
+    polygons: PolygonArrays,
+    mp_idx: str = "multipoint_index",
+    polygon_idx: str = "polygon_index",
+    result: str = "distance",
+) -> DataFrame:
+    mo, mx, my = mpoints.part_offsets, mpoints.x, mpoints.y
+    po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
+
+    def fn(pdf):
+        pdf[result] = gk.pairwise_multipoint_polygon_distance(
+            pdf[mp_idx].to_numpy(), pdf[polygon_idx].to_numpy(),
+            mo, mx, my, po, ro, px, py,
         )
         return pdf
 

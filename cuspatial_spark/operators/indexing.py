@@ -103,6 +103,7 @@ def quadtree_on_points_global(
     max_size: int,
     x: str = "x",
     y: str = "y",
+    max_driver_cells: int = 2_000_000,
 ):
     """GLOBAL quadtree over an arbitrarily large distributed table.
 
@@ -113,11 +114,22 @@ def quadtree_on_points_global(
     and the node table (also <= occupied-cell count) is built on the
     driver with the identical NumPy construction the goldens verify.
 
+    Depth guard: at deep ``max_depth`` the occupied-cell count
+    approaches the point count, which would OOM the driver collect.
+    If more than ``max_driver_cells`` cells are occupied, the build is
+    CLAMPED to the deepest level whose occupied-cell count fits (a
+    coarser but valid quadtree — leaves may exceed ``max_size``), with
+    a warning.  The level walk re-aggregates the *persisted cell
+    table* (never the points), so each probe shuffles at most the
+    occupied-cell rows.
+
     Returns a pandas DataFrame with the reference's 5 columns (key,
     level, is_internal_node, length, offset); offsets index the global
     Morton-sorted point order, which is well-defined without ever
     materializing a global sort (position = rank of key).
     """
+    import warnings
+
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -128,15 +140,43 @@ def quadtree_on_points_global(
         x_min, x_max, y_min, y_max, scale, max_depth
     )
     key = morton_key_expr(F.col(x), F.col(y), x_min, x_max, y_min, y_max, scale, max_depth)
-    cells = (
-        points.select(key.alias("cell"))
-        .groupBy("cell")
-        .count()
-        .orderBy("cell")
-        .toPandas()
-    )
+    cells_df = points.select(key.alias("cell")).groupBy("cell").count()
+    depth = max_depth
+    try:
+        cells_df.persist()
+        n_cells = cells_df.count()
+        if n_cells > max_driver_cells:
+            # each level up merges 4 children; the out-of-AOI sentinel
+            # (all-ones key) shifts onto the coarser sentinel, so a
+            # plain right-shift re-keys correctly
+            while depth > 0:
+                depth -= 1
+                shift = 2 * (max_depth - depth)
+                n = (
+                    cells_df.select(F.shiftright("cell", shift).alias("c"))
+                    .distinct()
+                    .count()
+                )
+                if n <= max_driver_cells:
+                    break
+            warnings.warn(
+                f"quadtree_on_points_global: {n_cells} occupied cells at depth "
+                f"{max_depth} exceed max_driver_cells={max_driver_cells}; "
+                f"clamping build to depth {depth}"
+            )
+            shift = 2 * (max_depth - depth)
+            cells = (
+                cells_df.groupBy(F.shiftright("cell", shift).alias("cell"))
+                .agg(F.sum("count").alias("count"))
+                .orderBy("cell")
+                .toPandas()
+            )
+        else:
+            cells = cells_df.orderBy("cell").toPandas()
+    finally:
+        cells_df.unpersist()
     qt = build_quadtree_from_cell_counts(
-        cells["cell"].to_numpy(), cells["count"].to_numpy(), max_depth, max_size
+        cells["cell"].to_numpy(), cells["count"].to_numpy(), depth, max_size
     )
     return pd.DataFrame(
         {

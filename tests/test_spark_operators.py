@@ -88,6 +88,112 @@ class TestQuadtreePipelineParity:
         np.testing.assert_allclose(got["distance"], G.NEAREST_GOLDEN_DIST_F64, rtol=1e-12)
 
 
+class TestFloat32OperatorParity:
+    """f32 end-to-end at the SPARK operator layer (not just kernels):
+    FloatType point columns + float32 geometry layers through the full
+    quadtree pipeline, against the reference's f32 goldens
+    (test_spatial_join.py parametrizes every operator over both
+    dtypes, :216,:254)."""
+
+    @pytest.fixture(scope="class")
+    def f32_points(self, spark):
+        from pyspark.sql.types import (
+            FloatType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(71, dtype=np.int64),
+                "x": np.asarray(G.SMALL_POINTS_X, dtype=np.float32),
+                "y": np.asarray(G.SMALL_POINTS_Y, dtype=np.float32),
+            }
+        )
+        schema = StructType(
+            [
+                StructField("point_id", LongType(), False),
+                StructField("x", FloatType(), False),
+                StructField("y", FloatType(), False),
+            ]
+        )
+        return (
+            spark.createDataFrame(pdf, schema=schema)
+            .repartition(1)
+            .withColumn("part_id", F.lit(0))
+            .cache()
+        )
+
+    @pytest.fixture(scope="class")
+    def f32_polygons(self):
+        xy = np.empty(2 * len(G.SMALL_POLY_XS), dtype=np.float32)
+        xy[::2] = np.asarray(G.SMALL_POLY_XS, dtype=np.float32)
+        xy[1::2] = np.asarray(G.SMALL_POLY_YS, dtype=np.float32)
+        return PolygonArrays.from_polygons_xy(xy, G.SMALL_RING_OFFSETS, G.SMALL_POLY_OFFSETS)
+
+    @pytest.fixture(scope="class")
+    def f32_linestrings(self):
+        xy = np.empty(2 * len(G.SMALL_POLY_XS), dtype=np.float32)
+        xy[::2] = np.asarray(G.SMALL_POLY_XS, dtype=np.float32)
+        xy[1::2] = np.asarray(G.SMALL_POLY_YS, dtype=np.float32)
+        return LinestringArrays.from_linestrings_xy(xy, G.SMALL_RING_OFFSETS)
+
+    def test_layer_dtype_preserved(self, f32_polygons, f32_linestrings):
+        assert f32_polygons.x.dtype == np.float32
+        assert f32_linestrings.x.dtype == np.float32
+
+    def test_quadtree_pip_golden_f32(self, spark, f32_points, f32_polygons):
+        got = ops.quadtree_point_in_polygon(
+            f32_points, f32_polygons,
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        ).toPandas()
+        np.testing.assert_array_equal(got["polygon_index"], G.QT_PIP_GOLDEN["polygon_index"])
+        np.testing.assert_array_equal(got["point_index"], G.QT_PIP_GOLDEN["point_index"])
+
+    def test_nearest_linestring_golden_f32(self, spark, f32_points, f32_linestrings):
+        got = ops.quadtree_point_to_nearest_linestring(
+            f32_points, f32_linestrings, 2.0,
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        ).toPandas()
+        np.testing.assert_array_equal(got["point_index"], G.NEAREST_GOLDEN_POINT_INDEX)
+        np.testing.assert_array_equal(got["linestring_index"], G.NEAREST_GOLDEN_LINESTRING_INDEX)
+        # f32 goldens embed CUDA FMA contraction; plain f32 NumPy
+        # matches to 5e-5 (same bound as the kernel-level goldens)
+        np.testing.assert_allclose(got["distance"], G.NEAREST_GOLDEN_DIST_F32, rtol=5e-5)
+        # and the math genuinely ran in f32: the f64 goldens differ
+        # from these beyond f32 resolution for at least some rows
+        assert not np.allclose(got["distance"], G.NEAREST_GOLDEN_DIST_F64, rtol=1e-9)
+
+    def test_brute_pip_f32(self, spark, f32_points, f32_polygons):
+        got = (
+            ops.point_in_polygon(f32_points, f32_polygons, result_prefix="p")
+            .orderBy("point_id")
+            .toPandas()
+        )
+        # golden point_index is in Morton-sorted space; map back
+        from cuspatial_spark.kernels.quadtree import build_quadtree
+
+        order, _ = build_quadtree(
+            np.asarray(G.SMALL_POINTS_X), np.asarray(G.SMALL_POINTS_Y),
+            P["x_min"], P["x_max"], P["y_min"], P["y_max"],
+            P["scale"], P["max_depth"], P["max_size"],
+        )
+        expected = {
+            (p, order[i])
+            for p, i in zip(G.QT_PIP_GOLDEN["polygon_index"], G.QT_PIP_GOLDEN["point_index"])
+        }
+        got_pairs = {
+            (j, r.point_id)
+            for _, r in got.iterrows()
+            for j in range(4)
+            if r[f"p{j}"]
+        }
+        assert got_pairs == expected
+
+
 class TestBruteForcePIP:
     def test_small_fixture(self, spark, small_points, small_polygons):
         got = (
@@ -351,3 +457,32 @@ class TestGlobalQuadtree:
         np.testing.assert_array_equal(got["level"], qt.level)
         np.testing.assert_array_equal(got["length"], qt.length)
         np.testing.assert_array_equal(got["offset"], qt.offset)
+
+    def test_depth_guard_clamps_deep_builds(self, spark):
+        """max_depth 15 over scattered points would collect ~n_points
+        cells; the guard must clamp to a level whose occupied-cell
+        count fits max_driver_cells and still build a valid tree."""
+        import warnings
+
+        from cuspatial_spark.operators.indexing import quadtree_on_points_global
+
+        rng = np.random.default_rng(34)
+        n = 20000
+        pdf = pd.DataFrame({"x": rng.uniform(0, 8, n), "y": rng.uniform(0, 8, n)})
+        depth = 15
+        scale = 8 / ((1 << depth) + 2)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = quadtree_on_points_global(
+                spark.createDataFrame(pdf).repartition(8),
+                0, 8, 0, 8, scale, depth, 100,
+                max_driver_cells=2000,
+            )
+            assert any("clamping build to depth" in str(x.message) for x in w)
+        # structural validity: leaf lengths partition the point count
+        # (internal-node length counts children, reference semantics)
+        leaves = got[~got["is_internal_node"]]
+        assert leaves["length"].sum() == n
+        # clamped depth must be < requested and cells bounded
+        assert got["level"].max() < depth - 1
+        assert len(got) <= 4 * 2000

@@ -382,6 +382,14 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    from cuspatial_spark.similarity import cosine_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    out = cosine_near_dup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
 def q_point_polygon_distance(spark, sf_dir):
     from cuspatial_spark.operators.pairwise import pairwise_point_polygon_distance
 
@@ -706,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
+        "cosine_near_dup": q_cosine_near_dup,
         "binary_metadata": q_binary_metadata,
         "point_polygon_distance": q_point_polygon_distance,
         "nearest_points": q_nearest_points,
@@ -1183,6 +1192,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(s, 6) AS score
             FROM ranked WHERE rank <= 5
+        """,
+        "cosine_near_dup": f"""
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ({_dot_sql('a.embedding', 'b.embedding')})
+                     / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) AS s
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(s, 6) AS score
+            FROM scored WHERE s >= 0.4
         """,
         "point_polygon_distance": f"""
             WITH {pts}, {segs},

@@ -121,14 +121,18 @@ def linestring_intersects_linestring(
     """.intersects for (linestring, linestring): min distance == 0
     (proper crossings, touches, and overlaps all collapse to 0)."""
 
-    def fn(pdf):
-        d = gk.pairwise_linestring_distance(
-            pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy(),
-            lhs.part_offsets, lhs.x, lhs.y, rhs.part_offsets, rhs.x, rhs.y,
+    def pair(li: int, ri: int) -> bool:
+        return bool(
+            gk.pairwise_linestring_distance(
+                [li], [ri],
+                lhs.part_offsets, lhs.x, lhs.y, rhs.part_offsets, rhs.x, rhs.y,
+            )[0]
+            == 0.0
         )
-        return d == 0.0
 
-    return _map_bool(df, fn, result)
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
 
 
 def linestring_crosses_linestring(
@@ -140,23 +144,21 @@ def linestring_crosses_linestring(
     crossing — segments properly intersect (feature_crosses.py:
     intersects minus boundary-only contact)."""
 
-    def fn(pdf):
-        out = np.zeros(len(pdf), dtype=bool)
-        for i, (li, ri) in enumerate(
-            zip(pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy())
-        ):
-            a0, a1 = gk._feature_segments(lhs.part_offsets, int(li))
-            b0, b1 = gk._feature_segments(rhs.part_offsets, int(ri))
-            hit = gk._segments_intersect(
+    def pair(li: int, ri: int) -> bool:
+        a0, a1 = gk._feature_segments(lhs.part_offsets, li)
+        b0, b1 = gk._feature_segments(rhs.part_offsets, ri)
+        return bool(
+            gk._segments_intersect(
                 lhs.x[a0][:, None], lhs.y[a0][:, None],
                 lhs.x[a1][:, None], lhs.y[a1][:, None],
                 rhs.x[b0][None, :], rhs.y[b0][None, :],
                 rhs.x[b1][None, :], rhs.y[b1][None, :],
-            )
-            out[i] = bool(hit.any())
-        return out
+            ).any()
+        )
 
-    return _map_bool(df, fn, result)
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
 
 
 def polygon_contains_point(
@@ -404,20 +406,17 @@ def multipoint_geom_equals(
     lx, ly = np.asarray(lhs_x), np.asarray(lhs_y)
     rx, ry = np.asarray(rhs_x), np.asarray(rhs_y)
 
-    def fn(pdf):
-        li = pdf[lhs_idx].to_numpy()
-        ri = pdf[rhs_idx].to_numpy()
-        out = np.zeros(len(pdf), dtype=bool)
-        for i, (a, b) in enumerate(zip(li, ri)):
-            acnt = gk.pairwise_multipoint_equals_count(
-                [0, lo[a + 1] - lo[a]], lx[lo[a]:lo[a + 1]], ly[lo[a]:lo[a + 1]],
-                [0, ro[b + 1] - ro[b]], rx[ro[b]:ro[b + 1]], ry[ro[b]:ro[b + 1]],
-            )[0]
-            bcnt = gk.pairwise_multipoint_equals_count(
-                [0, ro[b + 1] - ro[b]], rx[ro[b]:ro[b + 1]], ry[ro[b]:ro[b + 1]],
-                [0, lo[a + 1] - lo[a]], lx[lo[a]:lo[a + 1]], ly[lo[a]:lo[a + 1]],
-            )[0]
-            out[i] = acnt == (lo[a + 1] - lo[a]) and bcnt == (ro[b + 1] - ro[b])
-        return out
+    def pair(a: int, b: int) -> bool:
+        acnt = gk.pairwise_multipoint_equals_count(
+            [0, lo[a + 1] - lo[a]], lx[lo[a]:lo[a + 1]], ly[lo[a]:lo[a + 1]],
+            [0, ro[b + 1] - ro[b]], rx[ro[b]:ro[b + 1]], ry[ro[b]:ro[b + 1]],
+        )[0]
+        bcnt = gk.pairwise_multipoint_equals_count(
+            [0, ro[b + 1] - ro[b]], rx[ro[b]:ro[b + 1]], ry[ro[b]:ro[b + 1]],
+            [0, lo[a + 1] - lo[a]], lx[lo[a]:lo[a + 1]], ly[lo[a]:lo[a + 1]],
+        )[0]
+        return bool(acnt == (lo[a + 1] - lo[a]) and bcnt == (ro[b + 1] - ro[b]))
 
-    return _map_bool(df, fn, result)
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )

@@ -1,1 +1,7 @@
-from .ann import brute_force_topk, cosine_expr, ivf_topk, train_centroids  # noqa: F401
+from .ann import (  # noqa: F401
+    brute_force_topk,
+    cosine_expr,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    train_centroids,
+)

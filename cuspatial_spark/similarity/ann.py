@@ -69,6 +69,69 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lhs: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, score)
+    with cosine >= threshold.
+
+    Two plans:
+
+    - ``centroids=None`` — exact all-pairs verify.  Use only when one
+      side is bounded (pass ``lhs`` to restrict the left side, which
+      is broadcast); the all-pairs cross join is NOT the 100-TB shape.
+    - ``centroids`` given — IVF-bucketed: every vector is assigned to
+      its nearest centroid, and additionally *probes* its ``nprobe``
+      nearest buckets; candidates are (probe-side x assign-side)
+      bucket equi-join rows, then exact cosine verify.  Near-dup
+      vectors almost always share a nearest centroid, and the
+      two-sided id_a<id_b union means a pair is found if EITHER
+      member's probe set covers the other's bucket — the same
+      bucket-join shape as LSH banding, never an all-pairs join.
+    """
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if centroids is None:
+        a = (lhs or vectors).select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        cand = F.broadcast(a).crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        cts = centroids.astype(np.float64)
+        assigned = _assign_centroids(b, cts, "__vb", "bucket")
+
+        @F.pandas_udf("array<bigint>")
+        def probe_buckets(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            d = (m * m).sum(1)[:, None] - 2.0 * m @ cts.T + (cts * cts).sum(1)[None, :]
+            idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series(list(idx.astype(np.int64)))
+
+        probing = (
+            (lhs or vectors)
+            .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+            .withColumn("bucket", F.explode(probe_buckets(F.col("__va"))))
+        )
+        cand = (
+            probing.join(assigned, on="bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("__va"), F.col("__vb")).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(float(threshold)))
+    )
+
+
 def train_centroids(
     vectors: DataFrame,
     n_centroids: int,

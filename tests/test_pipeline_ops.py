@@ -121,6 +121,30 @@ class TestSimilarity:
             got_q = got[got["query_id"] == q]["neighbor_id"].to_numpy()
             np.testing.assert_array_equal(got_q, top)
 
+    def test_cosine_near_dup_brute_and_ivf(self, spark):
+        from cuspatial_spark.similarity import (
+            cosine_near_dup_pairs,
+            train_centroids,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(30, 16)).astype(np.float32)
+        # 10 engineered near-dups: tiny perturbations of the first 10
+        dups = base[:10] + rng.normal(size=(10, 16)).astype(np.float32) * 0.01
+        vecs = np.concatenate([base, dups])
+        pdf = pd.DataFrame(
+            {"vec_id": range(40), "embedding": [v.tolist() for v in vecs]}
+        )
+        df = spark.createDataFrame(pdf)
+        brute = cosine_near_dup_pairs(df, threshold=0.99).toPandas()
+        want = {(i, 30 + i) for i in range(10)}
+        assert set(zip(brute.id_a, brute.id_b)) == want
+        # IVF-bucketed path finds the same pairs (near-dups share buckets)
+        cts = train_centroids(df, 8, sample_rows=40)
+        ivf = cosine_near_dup_pairs(df, threshold=0.99, centroids=cts, nprobe=2).toPandas()
+        got = set(zip(ivf.id_a, ivf.id_b))
+        assert got <= want and len(got) >= 9  # recall >= 0.9, no false pairs
+
     def test_ivf_topk_recall(self, spark):
         from cuspatial_spark.similarity import brute_force_topk, ivf_topk
 

@@ -100,14 +100,22 @@ def tiles_covering_bboxes(
 PIP_JOIN_SCHEMA_SUFFIX = [StructField("polygon_id", LongType(), False)]
 
 
-def _segments_map_expr(polygons: PolygonArrays):
-    """Broadcast the polygon layer as a literal Catalyst map
-    ``poly_idx -> array<struct<ax,ay,bx,by>>`` (degenerate segments
-    dropped at build time).  Small layers only — the expression tree
-    grows with total segment count."""
-    keys, vals = [], []
+SEGS_SCHEMA = "array<struct<ax:double,ay:double,bx:double,by:double>>"
+
+
+def _polygon_segments_df(spark: SparkSession, polygons: PolygonArrays) -> DataFrame:
+    """The polygon layer as a one-row-per-polygon broadcastable
+    DataFrame ``(__poly_idx, polygon_id, __segs array<struct>)``.
+
+    Measured (tools/threshold_bench.py): embedding the layer as a
+    LITERAL Catalyst map costs super-linear driver plan-build time
+    (16 s at 1k segments, 117 s at 10k); as ordinary broadcast-join
+    DATA the plan is constant-size, and the refine expression runs
+    identically JVM-side over the joined array column.
+    """
     po, ro = polygons.part_offsets, polygons.ring_offsets
     px, py = polygons.x, polygons.y
+    rows = []
     for p in range(len(polygons)):
         segs = []
         for r in range(po[p], po[p + 1]):
@@ -115,31 +123,27 @@ def _segments_map_expr(polygons: PolygonArrays):
             for i in range(s, e):
                 prev = e - 1 if i == s else i - 1
                 ax, ay, bx, by = px[i], py[i], px[prev], py[prev]
-                if ax == bx and ay == by:
+                if ax == bx and ay == by:  # degenerate (e.g. ring-closing dup)
                     continue
-                segs.append(
-                    F.struct(
-                        F.lit(float(ax)).alias("ax"), F.lit(float(ay)).alias("ay"),
-                        F.lit(float(bx)).alias("bx"), F.lit(float(by)).alias("by"),
-                    )
-                )
-        keys.append(F.lit(int(p)))
-        vals.append(F.array(*segs))
-    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+                segs.append((float(ax), float(ay), float(bx), float(by)))
+        rows.append((int(p), int(polygons.ids[p]), segs))
+    return spark.createDataFrame(
+        rows, schema=f"__poly_idx long, polygon_id long, __segs {SEGS_SCHEMA}"
+    )
 
 
-def _pip_jvm_hit_expr(seg_map, poly_idx, x, y):
-    """Ray-cast crossings parity as a pure JVM expression (same
-    formula/order as kernels/pip.py and the SQL oracle).  Runs inside
-    the JVM with zero Python — this is the fast path that sidesteps
-    the serialized Arrow/Python boundary.
+def _pip_jvm_hit_expr(segs, x, y):
+    """Ray-cast crossings parity as a pure JVM expression over an
+    ``array<struct<ax,ay,bx,by>>`` column (same formula/order as
+    kernels/pip.py and the SQL oracle).  Runs inside the JVM with zero
+    Python — the fast path that sidesteps the serialized Arrow/Python
+    boundary.
 
     Difference vs the kernel: no ULP on-edge exclusion — a point lying
     exactly ON a polygon edge gets parity-dependent membership instead
     of a guaranteed False.  Measure-zero for real data; use
     refine='kernel' when exact edge semantics matter.
     """
-    segs = F.element_at(seg_map, poly_idx)
     crossings = F.aggregate(
         segs,
         F.lit(0),
@@ -180,17 +184,20 @@ def point_in_polygon_join(
     quadtree_point_in_polygon, with the tile grid playing the role of
     the quadtree's leaf quadrants.
 
-    refine: 'jvm' evaluates the ray-cast as a Catalyst expression over
-    a broadcast segment map (whole pipeline stays codegen, no Python —
-    the fast path); 'kernel' uses the Arrow-batched NumPy kernel (exact
-    reference edge semantics); 'auto' picks 'jvm' for layers with
-    <= 20k segments.
+    refine: 'jvm' evaluates the ray-cast as a JVM higher-order
+    expression over a broadcast-joined segment table (no Python — the
+    fast path; measured 2-20x over the Arrow kernel at equal layer
+    size, tools/threshold_bench.py); 'kernel' uses the Arrow-batched
+    NumPy kernel (exact reference ULP edge semantics); 'auto' picks
+    'jvm' for layers with <= 200k segments (a broadcast-size bound —
+    plan size is constant since the segments became broadcast DATA
+    rather than literal expressions).
     """
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
     keep = keep_columns if keep_columns is not None else [c for c in points.columns]
     if refine == "auto":
-        refine = "jvm" if len(polygons.x) <= 20000 else "kernel"
+        refine = "jvm" if len(polygons.x) <= 200_000 else "kernel"
 
     spark = points.sparkSession
     minx, miny, maxx, maxy = polygons.bounding_boxes()
@@ -212,15 +219,12 @@ def point_in_polygon_join(
     )
 
     if refine == "jvm":
-        seg_map = _segments_map_expr(polygons)
-        id_map = F.map_from_arrays(
-            F.array(*[F.lit(int(i)) for i in range(len(polygons))]),
-            F.array(*[F.lit(int(v)) for v in polygons.ids]),
-        )
-        hit = _pip_jvm_hit_expr(seg_map, F.col("__poly_idx"), F.col(x), F.col(y))
+        seg_df = _polygon_segments_df(spark, polygons)
+        hit = _pip_jvm_hit_expr(F.col("__segs"), F.col(x), F.col(y))
         return (
-            candidates.where(hit)
-            .select(*keep, F.element_at(id_map, F.col("__poly_idx")).alias("polygon_id"))
+            candidates.join(F.broadcast(seg_df), on="__poly_idx")
+            .where(hit)
+            .select(*keep, "polygon_id")
         )
 
     out_schema = StructType(
@@ -245,23 +249,23 @@ def point_in_polygon_join(
     return candidates.mapInPandas(refine_fn, schema=out_schema)
 
 
-def _line_segments_map_expr(linestrings: LinestringArrays):
-    """line_idx -> array<struct<ax,ay,bx,by>> of consecutive-vertex
-    segments, as a literal Catalyst map."""
-    keys, vals = [], []
+def _linestring_segments_df(
+    spark: SparkSession, linestrings: LinestringArrays
+) -> DataFrame:
+    """Consecutive-vertex segments per linestring as a broadcastable
+    DataFrame ``(__line_idx, linestring_id, __segs)`` — data, not
+    literal expressions (see _polygon_segments_df)."""
     po, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
+    rows = []
     for li in range(len(linestrings)):
-        segs = []
-        for i in range(int(po[li]), int(po[li + 1]) - 1):
-            segs.append(
-                F.struct(
-                    F.lit(float(lx[i])).alias("ax"), F.lit(float(ly[i])).alias("ay"),
-                    F.lit(float(lx[i + 1])).alias("bx"), F.lit(float(ly[i + 1])).alias("by"),
-                )
-            )
-        keys.append(F.lit(int(li)))
-        vals.append(F.array(*segs))
-    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+        segs = [
+            (float(lx[i]), float(ly[i]), float(lx[i + 1]), float(ly[i + 1]))
+            for i in range(int(po[li]), int(po[li + 1]) - 1)
+        ]
+        rows.append((int(li), int(linestrings.ids[li]), segs))
+    return spark.createDataFrame(
+        rows, schema=f"__line_idx long, linestring_id long, __segs {SEGS_SCHEMA}"
+    )
 
 
 def _point_segment_d2_expr(px, py, s):
@@ -307,16 +311,16 @@ def point_to_nearest_linestring_join(
     Points whose tile meets no expanded bbox are dropped (same
     reachability contract as the reference's bbox filter).
 
-    refine: 'jvm' computes min segment distance as a Catalyst
-    higher-order expression over a broadcast segment map (no Python);
+    refine: 'jvm' computes min segment distance as a JVM higher-order
+    expression over a broadcast-joined segment table (no Python);
     'kernel' uses the Arrow-batched NumPy kernel; 'auto' picks 'jvm'
-    for layers with <= 20k vertices.
+    for layers with <= 200k vertices (broadcast-size bound).
     """
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
     keep = keep_columns if keep_columns is not None else [c for c in points.columns]
     if refine == "auto":
-        refine = "jvm" if len(linestrings.x) <= 20000 else "kernel"
+        refine = "jvm" if len(linestrings.x) <= 200_000 else "kernel"
 
     spark = points.sparkSession
     minx, miny, maxx, maxy = linestrings.bounding_boxes(expansion_radius)
@@ -337,21 +341,16 @@ def point_to_nearest_linestring_join(
     )
 
     if refine == "jvm":
-        seg_map = _line_segments_map_expr(linestrings)
-        id_map = F.map_from_arrays(
-            F.array(*[F.lit(int(i)) for i in range(len(linestrings))]),
-            F.array(*[F.lit(int(v)) for v in linestrings.ids]),
-        )
-        segs = F.element_at(seg_map, F.col("__line_idx"))
+        seg_df = _linestring_segments_df(spark, linestrings)
         inf = float(np.finfo(np.float64).max)
         d2 = F.aggregate(
-            segs,
+            F.col("__segs"),
             F.lit(inf),
             lambda acc, s: F.least(acc, _point_segment_d2_expr(F.col(x), F.col(y), s)),
         )
-        scored = candidates.select(
+        scored = candidates.join(F.broadcast(seg_df), on="__line_idx").select(
             *keep,
-            F.element_at(id_map, F.col("__line_idx")).alias("linestring_id"),
+            "linestring_id",
             F.sqrt(d2).alias("distance"),
         )
         return (

@@ -382,6 +382,71 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_utm(spark, sf_dir):
+    """WGS84 -> UTM zone 31N over event-derived lon/lat (cuProj parity
+    transformer, pure Catalyst expressions)."""
+    from cuspatial_spark.functions.cuproj import Transformer
+
+    pts = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("x") * 0.75).alias("lon"),
+        (F.col("y") * 10.0 - 40.0).alias("lat"),
+    )
+    out = Transformer.from_crs("epsg:4326", "epsg:32631").transform(
+        pts, "lon", "lat", "easting", "northing"
+    )
+    return out.select(
+        "event_id",
+        F.round("easting", 1).alias("easting"),
+        F.round("northing", 1).alias("northing"),
+    )
+
+
+def _utm_oracle_sql(pts_cte: str, zone: int = 31) -> str:
+    """The same Krüger forward series as functions/cuproj.py, with
+    hyperbolics via exp/ln (DuckDB has none built in); round(1) m
+    absorbs libm leaf differences (~1e-8 m)."""
+    from cuspatial_spark.functions.cuproj import (
+        A_BAR,
+        ALPHA,
+        FALSE_EASTING,
+        K0,
+        _E2SQRT,
+        utm_central_meridian,
+    )
+
+    lam0 = utm_central_meridian(zone)
+    terms_e, terms_n = [], []
+    for j, a in enumerate(ALPHA, start=1):
+        w = 2.0 * j
+        cosh = f"((exp({w!r} * etap) + exp(-({w!r} * etap))) / 2)"
+        sinh = f"((exp({w!r} * etap) - exp(-({w!r} * etap))) / 2)"
+        terms_n.append(f"+ {a!r} * sin({w!r} * xip) * {cosh}")
+        terms_e.append(f"+ {a!r} * cos({w!r} * xip) * {sinh}")
+    return f"""
+        WITH {pts_cte},
+        b AS (SELECT event_id, x * 0.75 AS lon, y * 10.0 - 40.0 AS lat FROM pts),
+        c1 AS (SELECT event_id, radians(lat) AS phi, radians(lon - {lam0!r}) AS dlam FROM b),
+        c2 AS (SELECT event_id, sin(phi) AS s, cos(dlam) AS cd, sin(dlam) AS sd FROM c1),
+        c3 AS (SELECT *, (0.5 * ln((1 + s) / (1 - s)))
+                       - {_E2SQRT!r} * (0.5 * ln((1 + {_E2SQRT!r} * s) / (1 - {_E2SQRT!r} * s))) AS q
+               FROM c2),
+        c4 AS (SELECT *, (exp(q) - exp(-q)) / 2 AS t FROM c3),
+        c5 AS (SELECT *, atan2(t, cd) AS xip,
+                      ln(sd / sqrt(t * t + cd * cd)
+                         + sqrt((sd / sqrt(t * t + cd * cd)) * (sd / sqrt(t * t + cd * cd)) + 1)) AS etap
+               FROM c4),
+        c6 AS (SELECT event_id,
+                      etap {' '.join(terms_e)} AS eta,
+                      xip {' '.join(terms_n)} AS xi
+               FROM c5)
+        SELECT event_id,
+               round({FALSE_EASTING!r} + {K0 * A_BAR!r} * eta, 1) AS easting,
+               round({K0 * A_BAR!r} * xi, 1) AS northing
+        FROM c6
+    """
+
+
 def q_cosine_near_dup(spark, sf_dir):
     from cuspatial_spark.similarity import cosine_near_dup_pairs
 
@@ -701,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_linestring": q_nearest_linestring,
         "haversine": q_haversine,
         "sinusoidal": q_sinusoidal,
+        "utm": q_utm,
         "trajectory_bboxes": q_trajectory_bboxes,
         "trajectory_speeds": q_trajectory_speeds,
         "hausdorff": q_hausdorff,
@@ -1049,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
                    round((0.0 - lat) * {40000.0 / 360.0!r}, 4) AS py
             FROM ll
         """,
+        "utm": _utm_oracle_sql(pts),
         "trajectory_bboxes": f"""
             WITH {pts}
             SELECT user_id, min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy

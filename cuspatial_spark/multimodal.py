@@ -71,6 +71,73 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("payload_md5", StringType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_mean", DoubleType(), False),
+        StructField("frame_bytes", LongType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, bin_col: str = "payload", n_frames: int = 4
+) -> DataFrame:
+    """Frame sampling plumbing: one input payload -> up to ``n_frames``
+    output rows (the 1:N mapInPandas shape a real pyav frame sampler
+    needs).  STUB codec: the payload is split into equal byte spans
+    standing in for decoded frames."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[bin_col]:
+                raw = _decode_stub(bytes(payload))
+                md5 = hashlib.md5(bytes(payload)).hexdigest()
+                spans = np.array_split(raw, min(n_frames, len(raw)))
+                for i, fr in enumerate(spans):
+                    rows.append((md5, i, float(fr.mean()), int(fr.size)))
+            yield pd.DataFrame(
+                rows, columns=["payload_md5", "frame_idx", "frame_mean", "frame_bytes"]
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("payload_md5", StringType(), False),
+        StructField("thumb", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+
+def resize_features(
+    df: DataFrame, bin_col: str = "payload", size: int = 16
+) -> DataFrame:
+    """Resize plumbing: decode -> fixed-length vector (the
+    embedding-shaped output a real thumbnailer produces).  STUB codec:
+    linear interpolation of the byte 'signal' onto ``size`` samples —
+    deterministic, length-invariant."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[bin_col]:
+                arr = _decode_stub(bytes(payload)).astype(np.float64)
+                grid = np.linspace(0.0, len(arr) - 1.0, size)
+                thumb = np.interp(grid, np.arange(len(arr)), arr)
+                rows.append(
+                    (hashlib.md5(bytes(payload)).hexdigest(), list(thumb))
+                )
+            yield pd.DataFrame(rows, columns=["payload_md5", "thumb"])
+
+    return df.mapInPandas(run, schema=THUMB_SCHEMA)
+
+
 def decode_features(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads: one
     mapInPandas pass, NumPy math per batch (no per-row Python beyond

@@ -1,4 +1,5 @@
 from .spatial_stream import (  # noqa: F401
+    streaming_exact_dedup,
     streaming_pip_join,
     streaming_tile_counts,
     streaming_trajectory_state,

@@ -157,3 +157,25 @@ def streaming_trajectory_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming form of textops.exact_duplicates: keep the first
+    arrival of each exact text within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) bounds state by the
+    watermark instead of keeping every key forever — the only
+    state-size-safe shape for an unbounded crawl.  Dedup key is
+    md5(text), so state rows are 16-byte digests, not documents.
+    """
+    return (
+        stream.withColumn("__h", F.md5(F.col(text_col).cast("binary")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

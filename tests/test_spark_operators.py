@@ -223,6 +223,32 @@ class TestBruteForcePIP:
         assert got_pairs == expected_orig
 
 
+class TestTileJoinPlanShape:
+    def test_jvm_refine_plan_is_shuffle_free(self, spark, small_polygons):
+        """The 100-TB plan contract: scan -> codegen Morton keys ->
+        broadcast joins (tile filter + segment table) -> codegen
+        ray-cast filter.  No shuffle of the points side, no Python."""
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(1000, dtype=np.int64),
+                "x": np.random.default_rng(1).uniform(0, 8, 1000),
+                "y": np.random.default_rng(2).uniform(0, 8, 1000),
+            }
+        )
+        out = point_in_polygon_join(
+            spark.createDataFrame(pdf), small_polygons,
+            x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0,
+            max_depth=10, tile_level=4, keep_columns=["point_id"],
+            refine="jvm",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 2  # tile filter + segs
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+        # only broadcast exchanges; nothing repartitions the point side
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+
+
 class TestDistributedTileJoin:
     def test_matches_parity_pipeline(self, spark, small_polygons):
         # multi-partition points; result must equal the golden pair set

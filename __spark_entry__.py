@@ -195,6 +195,23 @@ def _morton_sql(xcol: str, ycol: str, scale: float, max_depth: int) -> str:
 _SCALE = 8.0 / ((1 << MAX_DEPTH) + 2)  # clamped min scale for the AOI
 
 
+def _raster_grid_sql() -> str:
+    """The distributed cell-center grid of operators/raster.py as a
+    DuckDB CTE (range table function).  Every center coordinate is an
+    exact multiple of cell_size/2, representable in both decimal and
+    binary floating point, so the CAST chain is lossless and the
+    ray-cast comparisons match Spark bit-for-bit."""
+    w, h = RASTER["width"], RASTER["height"]
+    cs, ox, oy = RASTER["cell_size"], RASTER["x_min"], RASTER["y_min"]
+    return (
+        f"g AS (SELECT CAST(t.v % {w} AS BIGINT) AS i, "
+        f"CAST(t.v // {w} AS BIGINT) AS j, "
+        f"CAST({ox!r} + (CAST(t.v % {w} AS BIGINT) + 0.5) * {cs!r} AS DOUBLE) AS cx, "
+        f"CAST({oy!r} + (CAST(t.v // {w} AS BIGINT) + 0.5) * {cs!r} AS DOUBLE) AS cy "
+        f"FROM range(0, {w * h}) t(v))"
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -751,6 +768,46 @@ def q_derive_traj(spark, sf_dir):
     return offsets.select("user_id", F.col("offset").alias("traj_offset"))
 
 
+def q_extract_text(spark, sf_dir):
+    """North-rule invariant: byte-identical extracted text per url.
+    The documents table is wrapped into adversarial HTML (entities,
+    comments, script/style subtrees) and extracted back; the oracle is
+    the ORIGINAL text column, so the value-hash match proves the
+    extractor inverts real markup byte-for-byte."""
+    from cuspatial_spark.textops.extract import extract_text, wrap_html
+
+    pages = wrap_html(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    return extract_text(pages, "html").select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+
+
+# raster grid shared by q_rasterize / q_vectorize and their oracles
+RASTER = dict(width=64, height=64, x_min=0.0, y_min=0.0, cell_size=0.125)
+
+
+def q_rasterize(spark, sf_dir):
+    from cuspatial_spark.operators.raster import rasterize_polygons
+
+    return rasterize_polygons(
+        spark, _polygons(), max_depth=MAX_DEPTH, tile_level=TILE_LEVEL, **RASTER
+    )
+
+
+def q_vectorize(spark, sf_dir):
+    from cuspatial_spark.operators.raster import rasterize_polygons, vectorize_cells
+
+    cells = rasterize_polygons(
+        spark, _polygons(), max_depth=MAX_DEPTH, tile_level=TILE_LEVEL, **RASTER
+    )
+    return vectorize_cells(
+        cells,
+        x_min=RASTER["x_min"],
+        y_min=RASTER["y_min"],
+        cell_size=RASTER["cell_size"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed tile-filtered point-in-polygon join of
     geotagged events against the reference polygon layer at sf0.001."""
@@ -798,6 +855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_equals": q_geom_equals,
         "binpreds3": q_binpreds3,
         "derive_traj": q_derive_traj,
+        "extract_text": q_extract_text,
+        "rasterize": q_rasterize,
+        "vectorize": q_vectorize,
     }
 
 
@@ -1602,5 +1662,50 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                      AS traj_offset
             FROM c
+        """,
+        # the oracle is the ORIGINAL text column: the Spark query wraps
+        # it into adversarial HTML and extracts it back, so hash match
+        # == byte-identical extraction per document (north-rule
+        # invariant).
+        "extract_text": "SELECT doc_id, text FROM documents",
+        "rasterize": f"""
+            WITH {segs}, {_raster_grid_sql()}
+            SELECT g.i, g.j, s.poly_id AS polygon_id
+            FROM g, segs s
+            GROUP BY g.i, g.j, s.poly_id, g.cx, g.cy
+            HAVING sum({_crossing_sql(px='g.cx', py='g.cy')}) % 2 = 1
+        """,
+        "vectorize": f"""
+            WITH {segs}, {_raster_grid_sql()},
+            cells AS (
+              SELECT g.i, g.j, s.poly_id AS value
+              FROM g, segs s
+              GROUP BY g.i, g.j, s.poly_id, g.cx, g.cy
+              HAVING sum({_crossing_sql(px='g.cx', py='g.cy')}) % 2 = 1
+            ),
+            runs AS (
+              SELECT value, j, i,
+                     i - row_number() OVER (PARTITION BY value, j ORDER BY i) AS grp
+              FROM cells
+            ),
+            hruns AS (
+              SELECT value, j, min(i) AS i0, max(i) AS i1
+              FROM runs GROUP BY value, j, grp
+            ),
+            vruns AS (
+              SELECT value, i0, i1, j,
+                     j - row_number() OVER (PARTITION BY value, i0, i1 ORDER BY j) AS vgrp
+              FROM hruns
+            ),
+            rects AS (
+              SELECT value, i0, i1, min(j) AS j0, max(j) AS j1
+              FROM vruns GROUP BY value, i0, i1, vgrp
+            )
+            SELECT value,
+                   CAST({RASTER['x_min']!r} + i0 * {RASTER['cell_size']!r} AS DOUBLE) AS x0,
+                   CAST({RASTER['y_min']!r} + j0 * {RASTER['cell_size']!r} AS DOUBLE) AS y0,
+                   CAST({RASTER['x_min']!r} + (i1 + 1) * {RASTER['cell_size']!r} AS DOUBLE) AS x1,
+                   CAST({RASTER['y_min']!r} + (j1 + 1) * {RASTER['cell_size']!r} AS DOUBLE) AS y1
+            FROM rects
         """,
     }

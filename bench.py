@@ -37,6 +37,10 @@ HEADLINE = [
     "quality",
     "ann_topk",
     "knn",
+    # round 2 additions: scan-speed HTML->text extraction (north-rule
+    # byte-identity invariant) and raster->vector rectangle decomposition
+    "extract_text",
+    "vectorize",
 ]
 
 

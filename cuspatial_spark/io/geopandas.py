@@ -114,6 +114,144 @@ class GeoLayers:
             pd.DataFrame({"row_id": rid, "x": self.point_x, "y": self.point_y})
         )
 
+    def __len__(self):
+        return len(self.feature_types)
+
+    def sizes(self) -> np.ndarray:
+        """Vertex count per input row (reference GeoSeries.sizes,
+        geoseries.py ``sizes`` property); 0 for missing rows."""
+        out = np.zeros(len(self), dtype=np.int64)
+        mp_off = self.multipoints.part_offsets
+        ls_off = self.linestrings.part_offsets
+        pg_part = self.polygons.part_offsets
+        pg_ring = self.polygons.ring_offsets
+        for i, (ft, k) in enumerate(zip(self.feature_types, self.union_offsets)):
+            if ft == POINT:
+                out[i] = 1
+            elif ft == MULTIPOINT:
+                out[i] = mp_off[k + 1] - mp_off[k]
+            elif ft == LINESTRING:
+                out[i] = ls_off[k + 1] - ls_off[k]
+            elif ft == POLYGON:
+                out[i] = pg_ring[pg_part[k + 1]] - pg_ring[pg_part[k]]
+        return out
+
+    def iloc(self, indices) -> "GeoLayers":
+        """Positional row selection (reference GeoSeries.iloc) — the
+        selected rows become a fresh, compact GeoLayers."""
+        geoms = to_geoms(self)
+        return from_geopandas([geoms[int(i)] for i in np.asarray(indices)])
+
+
+def align(ids_a, ids_b):
+    """Index alignment of two geometry collections (reference
+    GeoSeries.align semantics): returns (index, pos_a, pos_b) where
+    ``index`` is the sorted union of both id sets and pos_* are the
+    positional indices into each input (-1 where the id is absent).
+    Feed pos_* to ``GeoLayers.iloc`` (mapping -1 to a missing row) or
+    use them as the join keys of a DataFrame-native align."""
+    ids_a = np.asarray(ids_a)
+    ids_b = np.asarray(ids_b)
+    union = np.union1d(ids_a, ids_b)
+    pos_a = np.full(len(union), -1, dtype=np.int64)
+    pos_b = np.full(len(union), -1, dtype=np.int64)
+    pos_a[np.searchsorted(union, ids_a)] = np.arange(len(ids_a))
+    pos_b[np.searchsorted(union, ids_b)] = np.arange(len(ids_b))
+    return union, pos_a, pos_b
+
+
+# ------------------------------------------------------------------ export
+
+
+def _fmt(v: float) -> str:
+    """Shortest round-trip decimal (repr of a Python float)."""
+    return repr(float(v))
+
+
+def _fmt_ring(xs, ys) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in zip(xs, ys))
+
+
+def to_geoms(layers: GeoLayers):
+    """Inverse of ``from_geopandas``: per-row shapely-protocol geometry
+    objects rebuilt from the four flat layers (None for missing rows).
+    Multi-part polygons were flattened on ingestion (each part's rings
+    merged under one layer entry, reference bounding.py flatten), so
+    they export as a single Polygon whose extra rings are interiors."""
+    mp_off = layers.multipoints.part_offsets
+    mp_x, mp_y = layers.multipoints.x, layers.multipoints.y
+    ls_off = layers.linestrings.part_offsets
+    ls_x, ls_y = layers.linestrings.x, layers.linestrings.y
+    pg_part = layers.polygons.part_offsets
+    pg_ring = layers.polygons.ring_offsets
+    pg_x, pg_y = layers.polygons.x, layers.polygons.y
+
+    out = []
+    for ft, k in zip(layers.feature_types, layers.union_offsets):
+        if ft == POINT:
+            out.append(_Geom("Point", coords=[(layers.point_x[k], layers.point_y[k])]))
+        elif ft == MULTIPOINT:
+            s, e = mp_off[k], mp_off[k + 1]
+            out.append(
+                _Geom(
+                    "MultiPoint",
+                    geoms=[
+                        _Geom("Point", coords=[(mp_x[i], mp_y[i])]) for i in range(s, e)
+                    ],
+                )
+            )
+        elif ft == LINESTRING:
+            s, e = ls_off[k], ls_off[k + 1]
+            out.append(
+                _Geom("LineString", coords=list(zip(ls_x[s:e], ls_y[s:e])))
+            )
+        elif ft == POLYGON:
+            rings = []
+            for r in range(pg_part[k], pg_part[k + 1]):
+                s, e = pg_ring[r], pg_ring[r + 1]
+                rings.append(_Geom("LinearRing", coords=list(zip(pg_x[s:e], pg_y[s:e]))))
+            out.append(_Geom("Polygon", exterior=rings[0], interiors=rings[1:]))
+        else:
+            out.append(None)
+    return out
+
+
+def to_wkt(layers: GeoLayers) -> list:
+    """Per-row WKT strings (None for missing rows) — the
+    engine-portable serialization of ``to_geoms``."""
+    out = []
+    for g in to_geoms(layers):
+        if g is None:
+            out.append(None)
+        elif g.geom_type == "Point":
+            out.append(f"POINT ({_fmt(g.x)} {_fmt(g.y)})")
+        elif g.geom_type == "MultiPoint":
+            body = ", ".join(f"({_fmt(p.x)} {_fmt(p.y)})" for p in g.geoms)
+            out.append(f"MULTIPOINT ({body})")
+        elif g.geom_type == "LineString":
+            xs, ys = zip(*g.coords)
+            out.append(f"LINESTRING ({_fmt_ring(xs, ys)})")
+        else:  # Polygon
+            rings = [g.exterior] + list(g.interiors or [])
+            body = ", ".join(
+                "(" + _fmt_ring(*zip(*r.coords)) + ")" for r in rings
+            )
+            out.append(f"POLYGON ({body})")
+    return out
+
+
+def to_geopandas(layers: GeoLayers):
+    """Rebuild a geopandas.GeoSeries (reference GeoSeries.to_geopandas,
+    geoseries.py:452-630).  Requires shapely/geopandas; raises
+    ImportError in environments without them — ``to_wkt``/``to_geoms``
+    are the dependency-free exports."""
+    import geopandas as gpd  # noqa: F401  (optional dependency)
+    from shapely import wkt as _shapely_wkt
+
+    return gpd.GeoSeries(
+        [None if w is None else _shapely_wkt.loads(w) for w in to_wkt(layers)]
+    )
+
 
 def from_geopandas(geoms) -> GeoLayers:
     """Bucket an iterable of shapely(-protocol) geometries — e.g.

@@ -94,3 +94,77 @@ class TestIngestion:
             .toPandas()
         )
         assert list(got["in_0"]) == [False, True]  # (5,5) in hole, (2,2) in
+
+
+WKTS = [
+    "POINT (1.5 2.25)",
+    "MULTIPOINT ((0.0 0.0), (1.0 2.0), (3.5 4.5))",
+    "LINESTRING (0.0 0.0, 1.0 1.0, 2.0 0.5)",
+    "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 0.0), (1.0 1.0, 2.0 1.0, 1.5 2.0, 1.0 1.0))",
+    None,
+    "POINT (7.0 -3.125)",
+]
+
+
+class TestExportHelpers:
+    def test_to_wkt_round_trip(self):
+        """from_wkt -> layers -> to_wkt -> layers reproduces every
+        coordinate array exactly (values, not strings, are the
+        invariant)."""
+        import numpy as np
+        from cuspatial_spark.io.geopandas import from_geopandas, from_wkt, to_wkt
+
+        a = from_geopandas(from_wkt(WKTS))
+        b = from_geopandas(from_wkt(to_wkt(a)))
+        assert to_wkt(b) == to_wkt(a)
+        np.testing.assert_array_equal(a.feature_types, b.feature_types)
+        np.testing.assert_array_equal(a.point_x, b.point_x)
+        np.testing.assert_array_equal(a.polygons.x, b.polygons.x)
+        np.testing.assert_array_equal(a.polygons.ring_offsets, b.polygons.ring_offsets)
+        np.testing.assert_array_equal(a.linestrings.x, b.linestrings.x)
+        np.testing.assert_array_equal(a.multipoints.x, b.multipoints.x)
+
+    def test_sizes(self):
+        import numpy as np
+        from cuspatial_spark.io.geopandas import from_geopandas, from_wkt
+
+        layers = from_geopandas(from_wkt(WKTS))
+        # point=1, multipoint=3, linestring=3, polygon=4+4 ring vertices,
+        # missing=0, point=1
+        np.testing.assert_array_equal(layers.sizes(), [1, 3, 3, 8, 0, 1])
+
+    def test_iloc(self):
+        from cuspatial_spark.io.geopandas import from_geopandas, from_wkt, to_wkt
+
+        layers = from_geopandas(from_wkt(WKTS))
+        sub = layers.iloc([3, 0, 5])
+        assert to_wkt(sub) == [to_wkt(layers)[i] for i in (3, 0, 5)]
+
+    def test_align(self):
+        import numpy as np
+        from cuspatial_spark.io.geopandas import align
+
+        idx, pa, pb = align([10, 20, 40], [20, 30, 40])
+        np.testing.assert_array_equal(idx, [10, 20, 30, 40])
+        np.testing.assert_array_equal(pa, [0, 1, -1, 2])
+        np.testing.assert_array_equal(pb, [-1, 0, 1, 2])
+
+    def test_to_geopandas_gated(self):
+        """to_geopandas needs shapely/geopandas; in this sandbox it must
+        raise ImportError (the dependency-free exports are to_wkt /
+        to_geoms)."""
+        import pytest
+        from cuspatial_spark.io.geopandas import from_geopandas, from_wkt, to_geopandas
+
+        layers = from_geopandas(from_wkt(["POINT (0.0 0.0)"]))
+        try:
+            import geopandas  # noqa: F401
+            has_gpd = True
+        except ImportError:
+            has_gpd = False
+        if has_gpd:
+            gs = to_geopandas(layers)
+            assert gs.iloc[0].x == 0.0
+        else:
+            with pytest.raises(ImportError):
+                to_geopandas(layers)

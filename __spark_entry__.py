@@ -808,6 +808,62 @@ def q_vectorize(spark, sf_dir):
     )
 
 
+HILBERT_ORDER = 8
+_HSCALE = 8.0 / (1 << HILBERT_ORDER)  # exact binary fraction
+
+
+def q_hilbert(spark, sf_dir):
+    """S2-style Hilbert cell key per point (locality-preserving
+    alternative to the Morton key; see kernels/hilbert.py)."""
+    from cuspatial_spark.functions import with_hilbert_key
+
+    cmax = (1 << HILBERT_ORDER) - 1
+    cells = _points(spark, sf_dir).select(
+        "event_id",
+        F.least(F.floor(F.col("x") / _HSCALE), F.lit(cmax)).cast("long").alias("i"),
+        F.least(F.floor(F.col("y") / _HSCALE), F.lit(cmax)).cast("long").alias("j"),
+    )
+    return with_hilbert_key(cells, "i", "j", HILBERT_ORDER).select(
+        "event_id", "i", "j", "hilbert_key"
+    )
+
+
+def _hilbert_sql() -> str:
+    """The with_hilbert_key projection chain as DuckDB CTE text — one
+    CTE per curve level, identical rotate-and-accumulate arithmetic
+    (all integer, so hash-exact across engines)."""
+    cmax = (1 << HILBERT_ORDER) - 1
+    # CTE h{2s} feeds level s; the base (untransformed cells) is h{2^order}
+    ctes = [
+        f"h{1 << HILBERT_ORDER} AS (SELECT event_id, "
+        f"CAST(LEAST(FLOOR(x / {_HSCALE!r}), {cmax}) AS BIGINT) AS hx, "
+        f"CAST(LEAST(FLOOR(y / {_HSCALE!r}), {cmax}) AS BIGINT) AS hy, "
+        f"CAST(LEAST(FLOOR(x / {_HSCALE!r}), {cmax}) AS BIGINT) AS i, "
+        f"CAST(LEAST(FLOOR(y / {_HSCALE!r}), {cmax}) AS BIGINT) AS j, "
+        f"CAST(0 AS BIGINT) AS hd FROM pts)"
+    ]
+    s = 1 << (HILBERT_ORDER - 1)
+    while s > 0:
+        prev = f"h{2 * s}"
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quadrant = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        ctes.append(
+            f"h{s} AS (SELECT event_id, i, j, "
+            f"CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - hy "
+            f"WHEN {ry} = 0 THEN hy ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - hx "
+            f"WHEN {ry} = 0 THEN hx ELSE hy END AS hy, "
+            f"hd + {s * s} * {quadrant} AS hd FROM {prev})"
+        )
+        s >>= 1
+    return ",\n".join(ctes)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed tile-filtered point-in-polygon join of
     geotagged events against the reference polygon layer at sf0.001."""
@@ -858,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
+        "hilbert": q_hilbert,
     }
 
 
@@ -1668,6 +1725,11 @@ def oracle_sql() -> dict[str, str]:
         # == byte-identical extraction per document (north-rule
         # invariant).
         "extract_text": "SELECT doc_id, text FROM documents",
+        "hilbert": f"""
+            WITH {pts},
+            {_hilbert_sql()}
+            SELECT event_id, i, j, hd AS hilbert_key FROM h1
+        """,
         "rasterize": f"""
             WITH {segs}, {_raster_grid_sql()}
             SELECT g.i, g.j, s.poly_id AS polygon_id

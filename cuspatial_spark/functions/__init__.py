@@ -5,4 +5,5 @@ from .expressions import (  # noqa: F401
     sinusoidal_y_expr,
     spatial_window_predicate,
     tile_expr,
+    with_hilbert_key,
 )

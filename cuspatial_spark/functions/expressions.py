@@ -110,3 +110,56 @@ def tile_expr(morton_key: Column, max_depth: int, tile_level: int) -> Column:
     if shift <= 0:
         return morton_key
     return F.shiftright(morton_key, shift)
+
+
+def with_hilbert_key(
+    df,
+    x_col: str,
+    y_col: str,
+    order: int,
+    key_col: str = "hilbert_key",
+):
+    """Adds ``key_col`` = Hilbert index of integer cell coords
+    (``x_col``, ``y_col``) on a 2^order-per-side grid — the S2-style
+    locality-preserving alternative to the Morton key.
+
+    Pure Catalyst: one chained projection per curve level implementing
+    the rotate-and-accumulate transform of kernels/hilbert.py.  The
+    per-level intermediates are referenced multiple times by the next
+    level, so CollapseProject keeps the levels as separate codegen'd
+    projections instead of inlining them exponentially; plan size is
+    O(order).  No shuffle, no Python.
+    """
+    hx, hy, rx, ry = "__hx", "__hy", "__rx", "__ry"
+    out = df.withColumn(hx, F.col(x_col).cast("long")) \
+            .withColumn(hy, F.col(y_col).cast("long")) \
+            .withColumn(key_col, F.lit(0).cast("long"))
+    s = 1 << (order - 1)
+    while s > 0:
+        out = out.withColumn(
+            rx, F.when(F.col(hx).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ).withColumn(
+            ry, F.when(F.col(hy).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        )
+        quadrant = (
+            F.when((F.col(rx) == 0) & (F.col(ry) == 0), 0)
+            .when((F.col(rx) == 0) & (F.col(ry) == 1), 1)
+            .when((F.col(rx) == 1) & (F.col(ry) == 1), 2)
+            .otherwise(3)
+        )
+        out = out.withColumn(key_col, F.col(key_col) + F.lit(s * s) * quadrant)
+        # rotate quadrant where ry == 0 (swap, flipping when rx == 1)
+        new_x = (
+            F.when((F.col(ry) == 0) & (F.col(rx) == 1), F.lit(s - 1) - F.col(hy))
+            .when(F.col(ry) == 0, F.col(hy))
+            .otherwise(F.col(hx))
+        )
+        new_y = (
+            F.when((F.col(ry) == 0) & (F.col(rx) == 1), F.lit(s - 1) - F.col(hx))
+            .when(F.col(ry) == 0, F.col(hx))
+            .otherwise(F.col(hy))
+        )
+        out = out.withColumn("__nx", new_x).withColumn("__ny", new_y) \
+                 .withColumn(hx, F.col("__nx")).withColumn(hy, F.col("__ny"))
+        s >>= 1
+    return out.drop(hx, hy, rx, ry, "__nx", "__ny")

@@ -808,6 +808,68 @@ def q_vectorize(spark, sf_dir):
     )
 
 
+def _binpred_pts(spark, sf_dir):
+    """Points engineered onto/off the integer test geometries: exact
+    integer-derived halves/quarters so every coordinate is binary- and
+    decimal-exact in both engines."""
+    e = _events(spark, sf_dir)
+    m = F.col("event_id") % 4
+    x = (F.col("event_id") % 9) * F.lit(0.5)
+    x = F.when(m == 2, (F.col("event_id") % 2) * F.lit(4.0)).otherwise(x)
+    y = (
+        F.when(m == 0, F.lit(0.0))
+        .when(m == 1, F.lit(1.0))
+        .when(m == 2, F.lit(0.0))
+        .otherwise(F.lit(-0.5))
+    )
+    return e.select("event_id", x.alias("x"), y.alias("y"))
+
+
+_BINPRED_PTS_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 4 = 2 THEN (event_id % 2) * 4.0
+            ELSE (event_id % 9) * 0.5 END AS x,
+       CASE WHEN event_id % 4 = 0 THEN 0.0
+            WHEN event_id % 4 = 1 THEN 1.0
+            WHEN event_id % 4 = 2 THEN 0.0
+            ELSE -0.5 END AS y
+FROM events
+"""
+
+
+def q_binpreds4(spark, sf_dir):
+    """Dispatcher point-vs-linestring sweep: covers / within / touches
+    against test linestring L0 ((0,0)-(4,0)) via the full binpred
+    dispatch (operators/binpred_dispatch.py)."""
+    from cuspatial_spark.operators.binpred_dispatch import binpred
+
+    pts = _binpred_pts(spark, sf_dir).withColumn("linestring_index", F.lit(0))
+    out = binpred(pts, "covers", "linestring", "point", lhs_layer=_tlines(), result="pt_covers")
+    out = binpred(out, "within", "point", "linestring", rhs_layer=_tlines(), result="pt_within")
+    out = binpred(out, "touches", "point", "linestring", rhs_layer=_tlines(), result="pt_touches")
+    return out.select("event_id", "pt_covers", "pt_within", "pt_touches")
+
+
+# integer unit-square polygon layer for exact boundary predicates
+def _square_polys():
+    from cuspatial_spark.geometry import PolygonArrays
+
+    return PolygonArrays([0, 1], [0, 5], [0.0, 4.0, 4.0, 0.0, 0.0],
+                         [0.0, 0.0, 4.0, 4.0, 0.0])
+
+
+def q_binpreds5(spark, sf_dir):
+    """Dispatcher point-vs-polygon boundary sweep: touches / covers
+    against an integer square — boundary membership is exact in both
+    engines, unlike ray-cast parity on vertical edges."""
+    from cuspatial_spark.operators.binpred_dispatch import binpred
+
+    pts = _binpred_pts(spark, sf_dir).withColumn("polygon_index", F.lit(0))
+    out = binpred(pts, "touches", "point", "polygon", rhs_layer=_square_polys(), result="pt_touches")
+    out = binpred(out, "covers", "polygon", "point", lhs_layer=_square_polys(), result="pt_covers")
+    return out.select("event_id", "pt_touches", "pt_covers")
+
+
 HILBERT_ORDER = 8
 _HSCALE = 8.0 / (1 << HILBERT_ORDER)  # exact binary fraction
 
@@ -915,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
         "hilbert": q_hilbert,
+        "binpreds4": q_binpreds4,
+        "binpreds5": q_binpreds5,
     }
 
 
@@ -1729,6 +1793,24 @@ def oracle_sql() -> dict[str, str]:
             WITH {pts},
             {_hilbert_sql()}
             SELECT event_id, i, j, hd AS hilbert_key FROM h1
+        """,
+        # independent closed-form oracles for the engineered points vs
+        # L0 = segment (0,0)-(4,0) and the integer square (0,0)-(4,4)
+        "binpreds4": f"""
+            WITH bp AS ({_BINPRED_PTS_SQL})
+            SELECT event_id,
+                   (y = 0.0 AND x >= 0.0 AND x <= 4.0) AS pt_covers,
+                   (y = 0.0 AND x > 0.0 AND x < 4.0) AS pt_within,
+                   (y = 0.0 AND (x = 0.0 OR x = 4.0)) AS pt_touches
+            FROM bp
+        """,
+        "binpreds5": f"""
+            WITH bp AS ({_BINPRED_PTS_SQL})
+            SELECT event_id,
+                   (((x = 0.0 OR x = 4.0) AND y >= 0.0 AND y <= 4.0)
+                    OR ((y = 0.0 OR y = 4.0) AND x >= 0.0 AND x <= 4.0)) AS pt_touches,
+                   (x >= 0.0 AND x <= 4.0 AND y >= 0.0 AND y <= 4.0) AS pt_covers
+            FROM bp
         """,
         "rasterize": f"""
             WITH {segs}, {_raster_grid_sql()}

@@ -352,32 +352,10 @@ def polygon_contains_polygon(
     feature_contains.py:42-192)."""
 
     def fn(pdf):
-        def pair(a, b):
-            rs = int(rhs.ring_offsets[rhs.part_offsets[b]])
-            re_ = int(rhs.ring_offsets[rhs.part_offsets[b + 1]])
-            vx, vy = rhs.x[rs:re_], rhs.y[rs:re_]
-            lr0, lr1 = int(lhs.part_offsets[a]), int(lhs.part_offsets[a + 1])
-            inside = _pip_one_polygon(
-                vx, vy, lhs.ring_offsets[lr0:lr1 + 1], lhs.x, lhs.y
-            )
-            v0, v1 = gk._ring_segments_of_polygon(lhs.part_offsets, lhs.ring_offsets, a)
-            d2 = point_segment_distance_squared(
-                vx[:, None], vy[:, None],
-                lhs.x[v0][None, :], lhs.y[v0][None, :],
-                lhs.x[v1][None, :], lhs.y[v1][None, :],
-            ).min(axis=1)
-            b0, b1 = gk._ring_segments_of_polygon(rhs.part_offsets, rhs.ring_offsets, b)
-            proper = bool(
-                gk._segments_intersect(
-                    lhs.x[v0][:, None], lhs.y[v0][:, None],
-                    lhs.x[v1][:, None], lhs.y[v1][:, None],
-                    rhs.x[b0][None, :], rhs.y[b0][None, :],
-                    rhs.x[b1][None, :], rhs.y[b1][None, :],
-                ).any()
-            )
-            return bool((inside | (d2 == 0.0)).all()) and not proper
-
-        return _unique_pair_map(pdf, lhs_idx, rhs_idx, pair)
+        return _unique_pair_map(
+            pdf, lhs_idx, rhs_idx,
+            lambda a, b: _polygon_contains_polygon_pair(lhs, rhs, a, b),
+        )
 
     return _map_bool(df, fn, result)
 
@@ -416,6 +394,390 @@ def multipoint_geom_equals(
             [0, lo[a + 1] - lo[a]], lx[lo[a]:lo[a + 1]], ly[lo[a]:lo[a + 1]],
         )[0]
         return bool(acnt == (lo[a + 1] - lo[a]) and bcnt == (ro[b + 1] - ro[b]))
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
+
+
+# ---------------------------------------------------------------------
+# round-2 primitives completing the reference dispatch matrix
+# (binpred_dispatch.py:11-40; per-feature combos listed in each
+# feature_*.py DispatchDict) — consumed by operators/binpred_dispatch.
+
+
+def _poly_boundary_dist2(xs, ys, polys: PolygonArrays, pi: int) -> np.ndarray:
+    """Min squared distance of points to polygon pi's boundary."""
+    v0, v1 = gk._ring_segments_of_polygon(polys.part_offsets, polys.ring_offsets, pi)
+    return point_segment_distance_squared(
+        xs[:, None], ys[:, None],
+        polys.x[v0][None, :], polys.y[v0][None, :],
+        polys.x[v1][None, :], polys.y[v1][None, :],
+    ).min(axis=1)
+
+
+def point_on_linestring(
+    df: DataFrame, lines: LinestringArrays,
+    x: str = "x", y: str = "y", line_idx: str = "linestring_index",
+    result: str = "on", interior_only: bool = False,
+) -> DataFrame:
+    """Point lies on the linestring (covers(ls, pt) when boundary
+    endpoints count; within(pt, ls) with interior_only=True —
+    feature_within.py PointLineStringWithin excludes the chain's two
+    endpoints, the linestring's topological boundary)."""
+
+    def fn(pdf):
+        xs, ys = pdf[x].to_numpy(), pdf[y].to_numpy()
+        li = pdf[line_idx].to_numpy()
+        out = np.zeros(len(pdf), dtype=bool)
+        for lid in np.unique(li):
+            m = li == lid
+            s0, s1 = gk._feature_segments(lines.part_offsets, int(lid))
+            d2 = point_segment_distance_squared(
+                xs[m][:, None], ys[m][:, None],
+                lines.x[s0][None, :], lines.y[s0][None, :],
+                lines.x[s1][None, :], lines.y[s1][None, :],
+            ).min(axis=1)
+            ok = d2 == 0.0
+            if interior_only:
+                s, e = int(lines.part_offsets[lid]), int(lines.part_offsets[lid + 1])
+                at_start = (xs[m] == lines.x[s]) & (ys[m] == lines.y[s])
+                at_end = (xs[m] == lines.x[e - 1]) & (ys[m] == lines.y[e - 1])
+                ok &= ~(at_start | at_end)
+            out[m] = ok
+        return out
+
+    return _map_bool(df, fn, result)
+
+
+def point_touches_polygon(
+    df: DataFrame, polygons: PolygonArrays,
+    x: str = "x", y: str = "y", polygon_idx: str = "polygon_index",
+    result: str = "touches",
+) -> DataFrame:
+    """Point exactly on the polygon boundary (feature_touches.py
+    PointPolygonTouches / PolygonPointTouches)."""
+
+    def fn(pdf):
+        xs, ys = pdf[x].to_numpy(), pdf[y].to_numpy()
+        pidx = pdf[polygon_idx].to_numpy()
+        out = np.zeros(len(pdf), dtype=bool)
+        for p in np.unique(pidx):
+            m = pidx == p
+            out[m] = _poly_boundary_dist2(xs[m], ys[m], polygons, int(p)) == 0.0
+        return out
+
+    return _map_bool(df, fn, result)
+
+
+def _mp_poly_flags(mps, polys: PolygonArrays, mi: int, pi: int):
+    """(all_covered, any_strict_in, any_on_bound) of multipoint mi's
+    points vs polygon pi."""
+    s, e = int(mps.part_offsets[mi]), int(mps.part_offsets[mi + 1])
+    xs, ys = mps.x[s:e], mps.y[s:e]
+    r0, r1 = int(polys.part_offsets[pi]), int(polys.part_offsets[pi + 1])
+    inside = _pip_one_polygon(xs, ys, polys.ring_offsets[r0:r1 + 1], polys.x, polys.y)
+    on_bound = _poly_boundary_dist2(xs, ys, polys, pi) == 0.0
+    covered = inside | on_bound
+    return bool(covered.all()), bool((inside & ~on_bound).any()), bool(on_bound.any())
+
+
+def polygon_contains_multipoint(
+    df: DataFrame, polygons: PolygonArrays, mps,
+    polygon_idx: str = "polygon_index", mp_idx: str = "multipoint_index",
+    result: str = "contains",
+) -> DataFrame:
+    """.contains / .covers for (polygon, multipoint): every point
+    inside or on the boundary — boundary-inclusive like
+    polygon_contains_point, the reference's documented non-shapely
+    quirk (feature_contains.py ContainsPredicate (Polygon, MultiPoint)
+    / feature_covers.py CoversPredicateBase)."""
+
+    def pair(p, m):
+        all_cov, _, _ = _mp_poly_flags(mps, polygons, m, p)
+        return all_cov
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, polygon_idx, mp_idx, pair), result
+    )
+
+
+def multipoint_touches_polygon(
+    df: DataFrame, mps, polygons: PolygonArrays,
+    mp_idx: str = "multipoint_index", polygon_idx: str = "polygon_index",
+    result: str = "touches",
+) -> DataFrame:
+    """Some point on the boundary, none strictly inside
+    (feature_touches.py TouchesPredicateBase for (MultiPoint, Polygon))."""
+
+    def pair(m, p):
+        _, any_in, any_on = _mp_poly_flags(mps, polygons, m, p)
+        return any_on and not any_in
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, mp_idx, polygon_idx, pair), result
+    )
+
+
+def linestring_geom_equals(
+    df: DataFrame, lhs: LinestringArrays, rhs: LinestringArrays,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "geom_equals",
+) -> DataFrame:
+    """.geom_equals for (linestring, linestring): identical vertex
+    chain forward or reversed (feature_equals.py
+    LineStringLineStringEquals)."""
+
+    def pair(a, b):
+        s0, e0 = int(lhs.part_offsets[a]), int(lhs.part_offsets[a + 1])
+        s1, e1 = int(rhs.part_offsets[b]), int(rhs.part_offsets[b + 1])
+        if e0 - s0 != e1 - s1:
+            return False
+        ax, ay = lhs.x[s0:e0], lhs.y[s0:e0]
+        bx, by = rhs.x[s1:e1], rhs.y[s1:e1]
+        fwd = (ax == bx).all() and (ay == by).all()
+        rev = (ax == bx[::-1]).all() and (ay == by[::-1]).all()
+        return bool(fwd or rev)
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
+
+
+def _canonical_rings(polys: PolygonArrays, pi: int):
+    """Rings of polygon pi as canonical tuples: closing vertex dropped,
+    rotated to the lexicographically smallest vertex, orientation
+    chosen to make the tuple minimal — equality modulo rotation and
+    winding."""
+    out = []
+    for r in range(polys.part_offsets[pi], polys.part_offsets[pi + 1]):
+        s, e = int(polys.ring_offsets[r]), int(polys.ring_offsets[r + 1])
+        xs, ys = polys.x[s:e], polys.y[s:e]
+        if e - s > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            xs, ys = xs[:-1], ys[:-1]
+        verts = list(zip(xs.tolist(), ys.tolist()))
+        n = len(verts)
+        best = None
+        for seq in (verts, verts[::-1]):
+            k = min(range(n), key=lambda i: seq[i])
+            rot = tuple(seq[k:] + seq[:k])
+            if best is None or rot < best:
+                best = rot
+        out.append(best)
+    return sorted(out)
+
+
+def polygon_geom_equals(
+    df: DataFrame, lhs: PolygonArrays, rhs: PolygonArrays,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "geom_equals",
+) -> DataFrame:
+    """.geom_equals for (polygon, polygon): same ring multiset up to
+    ring rotation and winding direction (feature_equals.py
+    PolygonPolygonEquals semantics at vertex resolution)."""
+
+    def pair(a, b):
+        return _canonical_rings(lhs, a) == _canonical_rings(rhs, b)
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
+
+
+def _collinear_overlap_interval(px, py, qx, qy, ax, ay, bx, by):
+    """Sub-interval of segment (p,q), in its own t-parameter, covered
+    by collinear segment (a,b); None when not collinear / no overlap."""
+    ux, uy = qx - px, qy - py
+    # both endpoints of (a,b) must be on the (p,q) line
+    if (ax - px) * uy - (ay - py) * ux != 0.0 or (bx - px) * uy - (by - py) * ux != 0.0:
+        return None
+    l2 = ux * ux + uy * uy
+    if l2 == 0.0:
+        return None
+    t0 = ((ax - px) * ux + (ay - py) * uy) / l2
+    t1 = ((bx - px) * ux + (by - py) * uy) / l2
+    lo, hi = (t0, t1) if t0 <= t1 else (t1, t0)
+    lo, hi = max(lo, 0.0), min(hi, 1.0)
+    return (lo, hi) if hi > lo else None
+
+
+def linestring_covers_linestring(
+    df: DataFrame, lhs: LinestringArrays, rhs: LinestringArrays,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "covers",
+) -> DataFrame:
+    """.covers for (linestring, linestring): every segment of rhs is
+    fully covered by the union of collinear overlaps with lhs segments
+    (interval-merge per rhs segment — feature_covers.py
+    LineStringLineStringCovers semantics)."""
+
+    def pair(a, b):
+        a0, a1 = gk._feature_segments(lhs.part_offsets, a)
+        b0, b1 = gk._feature_segments(rhs.part_offsets, b)
+        for i0, i1 in zip(b0, b1):
+            ivs = []
+            for j0, j1 in zip(a0, a1):
+                iv = _collinear_overlap_interval(
+                    rhs.x[i0], rhs.y[i0], rhs.x[i1], rhs.y[i1],
+                    lhs.x[j0], lhs.y[j0], lhs.x[j1], lhs.y[j1],
+                )
+                if iv:
+                    ivs.append(iv)
+            # merge and require [0, 1] coverage
+            ivs.sort()
+            reach = 0.0
+            for lo, hi in ivs:
+                if lo > reach:
+                    return False
+                reach = max(reach, hi)
+            if reach < 1.0:
+                return False
+        return True
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
+
+
+def _ls_poly_touches(lines: LinestringArrays, polys: PolygonArrays, li: int, pi: int):
+    """touches for (linestring, polygon): boundary contact exists, no
+    proper edge crossing, no vertex strictly inside
+    (feature_touches.py LineStringPolygonTouches semantics at vertex
+    resolution)."""
+    s, e = int(lines.part_offsets[li]), int(lines.part_offsets[li + 1])
+    vx, vy = lines.x[s:e], lines.y[s:e]
+    r0, r1 = int(polys.part_offsets[pi]), int(polys.part_offsets[pi + 1])
+    inside = _pip_one_polygon(vx, vy, polys.ring_offsets[r0:r1 + 1], polys.x, polys.y)
+    on_bound = _poly_boundary_dist2(vx, vy, polys, pi) == 0.0
+    if bool((inside & ~on_bound).any()):
+        return False
+    a0, a1 = gk._feature_segments(lines.part_offsets, li)
+    v0, v1 = gk._ring_segments_of_polygon(polys.part_offsets, polys.ring_offsets, pi)
+    proper = bool(
+        gk._segments_intersect(
+            lines.x[a0][:, None], lines.y[a0][:, None],
+            lines.x[a1][:, None], lines.y[a1][:, None],
+            polys.x[v0][None, :], polys.y[v0][None, :],
+            polys.x[v1][None, :], polys.y[v1][None, :],
+        ).any()
+    )
+    if proper:
+        return False
+    contact = bool(on_bound.any()) or gk._min_dist_segments_to_segments(
+        lines.x[a0], lines.y[a0], lines.x[a1], lines.y[a1],
+        polys.x[v0], polys.y[v0], polys.x[v1], polys.y[v1],
+    ) == 0.0
+    return contact
+
+
+def linestring_touches_polygon(
+    df: DataFrame, lines: LinestringArrays, polys: PolygonArrays,
+    line_idx: str = "linestring_index", polygon_idx: str = "polygon_index",
+    result: str = "touches",
+) -> DataFrame:
+    def fn(pdf):
+        return _unique_pair_map(
+            pdf, line_idx, polygon_idx,
+            lambda a, b: _ls_poly_touches(lines, polys, a, b),
+        )
+
+    return _map_bool(df, fn, result)
+
+
+def _polygon_contains_polygon_pair(lhs: PolygonArrays, rhs: PolygonArrays, a: int, b: int) -> bool:
+    """Boundary-inclusive containment of rhs b in lhs a (the pair
+    function of polygon_contains_polygon, reusable by composition)."""
+    rs = int(rhs.ring_offsets[rhs.part_offsets[b]])
+    re_ = int(rhs.ring_offsets[rhs.part_offsets[b + 1]])
+    vx, vy = rhs.x[rs:re_], rhs.y[rs:re_]
+    lr0, lr1 = int(lhs.part_offsets[a]), int(lhs.part_offsets[a + 1])
+    inside = _pip_one_polygon(vx, vy, lhs.ring_offsets[lr0:lr1 + 1], lhs.x, lhs.y)
+    d2 = _poly_boundary_dist2(vx, vy, lhs, a)
+    v0, v1 = gk._ring_segments_of_polygon(lhs.part_offsets, lhs.ring_offsets, a)
+    b0, b1 = gk._ring_segments_of_polygon(rhs.part_offsets, rhs.ring_offsets, b)
+    proper = bool(
+        gk._segments_intersect(
+            lhs.x[v0][:, None], lhs.y[v0][:, None],
+            lhs.x[v1][:, None], lhs.y[v1][:, None],
+            rhs.x[b0][None, :], rhs.y[b0][None, :],
+            rhs.x[b1][None, :], rhs.y[b1][None, :],
+        ).any()
+    )
+    return bool((inside | (d2 == 0.0)).all()) and not proper
+
+
+def _poly_poly_flags(lhs: PolygonArrays, rhs: PolygonArrays, a: int, b: int):
+    """(contact, proper, a_strict_in_b, b_strict_in_a) — building
+    blocks for touches/overlaps.  Interior probes use vertices AND
+    edge midpoints: midpoints catch interiors that meet where every
+    vertex sits exactly on the other's boundary (collinear-contact
+    overlaps, which have no proper edge crossing)."""
+    def strict_in(src, si, dst, di):
+        s0, s1 = gk._ring_segments_of_polygon(src.part_offsets, src.ring_offsets, si)
+        xs = np.concatenate([src.x[s0], (src.x[s0] + src.x[s1]) * 0.5])
+        ys = np.concatenate([src.y[s0], (src.y[s0] + src.y[s1]) * 0.5])
+        r0, r1 = int(dst.part_offsets[di]), int(dst.part_offsets[di + 1])
+        inside = _pip_one_polygon(xs, ys, dst.ring_offsets[r0:r1 + 1], dst.x, dst.y)
+        on_b = _poly_boundary_dist2(xs, ys, dst, di) == 0.0
+        return bool((inside & ~on_b).any())
+
+    v0, v1 = gk._ring_segments_of_polygon(lhs.part_offsets, lhs.ring_offsets, a)
+    w0, w1 = gk._ring_segments_of_polygon(rhs.part_offsets, rhs.ring_offsets, b)
+    proper = bool(
+        gk._segments_intersect(
+            lhs.x[v0][:, None], lhs.y[v0][:, None],
+            lhs.x[v1][:, None], lhs.y[v1][:, None],
+            rhs.x[w0][None, :], rhs.y[w0][None, :],
+            rhs.x[w1][None, :], rhs.y[w1][None, :],
+        ).any()
+    )
+    contact = gk._min_dist_segments_to_segments(
+        lhs.x[v0], lhs.y[v0], lhs.x[v1], lhs.y[v1],
+        rhs.x[w0], rhs.y[w0], rhs.x[w1], rhs.y[w1],
+    ) == 0.0
+    return contact, proper, strict_in(lhs, a, rhs, b), strict_in(rhs, b, lhs, a)
+
+
+def polygon_touches_polygon(
+    df: DataFrame, lhs: PolygonArrays, rhs: PolygonArrays,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "touches",
+) -> DataFrame:
+    """Boundaries meet, interiors don't (feature_touches.py
+    PolygonPolygonTouches).  Containment (including geometric
+    equality) implies interior intersection the probe flags can miss
+    when every probe lands on the boundary, so it is excluded
+    explicitly."""
+
+    def pair(a, b):
+        contact, proper, a_in, b_in = _poly_poly_flags(lhs, rhs, a, b)
+        if not contact or proper or a_in or b_in:
+            return contact and not proper and not a_in and not b_in
+        return not _polygon_contains_polygon_pair(
+            lhs, rhs, a, b
+        ) and not _polygon_contains_polygon_pair(rhs, lhs, b, a)
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
+
+
+def polygon_overlaps_polygon(
+    df: DataFrame, lhs: PolygonArrays, rhs: PolygonArrays,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "overlaps",
+) -> DataFrame:
+    """Interiors intersect but neither covers the other
+    (feature_overlaps.py PolygonPolygonOverlaps)."""
+
+    def pair(a, b):
+        contact, proper, a_in, b_in = _poly_poly_flags(lhs, rhs, a, b)
+        interiors = proper or a_in or b_in
+        if not interiors:
+            return False
+        return not _polygon_contains_polygon_pair(
+            lhs, rhs, a, b
+        ) and not _polygon_contains_polygon_pair(rhs, lhs, b, a)
 
     return _map_bool(
         df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result

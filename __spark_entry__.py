@@ -364,7 +364,7 @@ def q_token_count(spark, sf_dir):
     from cuspatial_spark.textops import token_count
 
     return token_count(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "n_tokens_bpe_est"
+        "doc_id", "n_tokens", "n_tokens_bpe", "n_tokens_bpe_est"
     )
 
 
@@ -1374,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), ' +')) END AS n_tokens,
+                   CAST(len(regexp_extract_all(trim(text), ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens_bpe,
                    CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS n_tokens_bpe_est
             FROM documents
         """,

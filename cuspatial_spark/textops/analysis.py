@@ -76,17 +76,29 @@ def quality_score(
     return docs.withColumn(result, score)
 
 
+# GPT-2-style coarse token pattern: alpha runs, digit runs, punct runs
+# (each with an optional leading space).  Classes are disjoint, so the
+# match set is identical under Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
 def token_count(
     docs: DataFrame, text_col: str = "text", result: str = "n_tokens"
 ) -> DataFrame:
-    """Whitespace token count plus a BPE-ish subword estimate
-    (chars/4 heuristic used by tokenizer cost models)."""
+    """Whitespace token count, a BPE-ish regex token count
+    (GPT-2-style word/number/punct runs), and the chars/4 subword
+    estimate used by tokenizer cost models.  All pure codegen."""
     t = F.trim(F.col(text_col))
     ws = F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, " +"))
     )
-    return docs.withColumn(result, ws.cast("long")).withColumn(
-        f"{result}_bpe_est", F.ceil(F.length(t) / F.lit(4)).cast("long")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    return (
+        docs.withColumn(result, ws.cast("long"))
+        .withColumn(f"{result}_bpe", bpe.cast("long"))
+        .withColumn(
+            f"{result}_bpe_est", F.ceil(F.length(t) / F.lit(4)).cast("long")
+        )
     )
 
 

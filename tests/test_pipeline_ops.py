@@ -421,6 +421,31 @@ class TestTiledWriter:
         # round-trip preserves payload
         assert set(back.toPandas()["point_id"]) == set(range(2000))
 
+    def test_hilbert_cluster_same_content(self, spark, tmp_path):
+        """cluster='hilbert' changes only file layout: same rows, same
+        tile directory keys, pruning intact, and a hilbert_key column
+        consistent with the kernel."""
+        from cuspatial_spark.kernels.hilbert import xy2d
+        from cuspatial_spark.sources.writer import read_tiled, write_tiled
+
+        rng = np.random.default_rng(10)
+        pdf = pd.DataFrame(
+            {"point_id": np.arange(1000), "x": rng.uniform(0, 8, 1000), "y": rng.uniform(0, 8, 1000)}
+        )
+        path = str(tmp_path / "tiled_h")
+        write_tiled(
+            spark.createDataFrame(pdf), path, "x", "y", 0, 8, 0, 8,
+            max_depth=8, tile_level=2, cluster="hilbert",
+        )
+        back = read_tiled(spark, path).toPandas()
+        assert set(back["point_id"]) == set(range(1000))
+        scale = 8 / ((1 << 8) + 2)
+        ii = np.minimum(np.floor(back["x"] / scale), 255).astype(np.int64)
+        jj = np.minimum(np.floor(back["y"] / scale), 255).astype(np.int64)
+        np.testing.assert_array_equal(back["hilbert_key"].to_numpy(), xy2d(8, ii, jj))
+        got = read_tiled(spark, path).where(F.col("tile") == 0).toPandas()
+        assert (got["x"] < 4.0).all() and (got["y"] < 4.0).all()
+
 
 class TestIvfTrainer:
     def test_train_and_search(self, spark):

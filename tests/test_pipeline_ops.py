@@ -467,3 +467,52 @@ class TestIvfTrainer:
         e = set(zip(exact["query_id"], exact["neighbor_id"]))
         a = set(zip(approx["query_id"], approx["neighbor_id"]))
         assert len(e & a) / len(e) >= 0.8
+
+
+class TestTiledTable:
+    def test_commit_time_travel_prune(self, spark, tmp_path):
+        from cuspatial_spark.sources.table import TiledTable
+
+        t = TiledTable(str(tmp_path / "table"))
+        rng = np.random.default_rng(21)
+        df1 = spark.createDataFrame(pd.DataFrame({
+            "point_id": np.arange(500),
+            "x": rng.uniform(0, 4, 500), "y": rng.uniform(0, 4, 500)}))
+        df2 = spark.createDataFrame(pd.DataFrame({
+            "point_id": np.arange(500, 900),
+            "x": rng.uniform(4, 8, 400), "y": rng.uniform(4, 8, 400)}))
+        v1 = t.commit(df1, "x", "y", 0, 8, 0, 8, source="batch-1")
+        v2 = t.commit(df2, "x", "y", 0, 8, 0, 8, source="batch-2")
+        assert (v1, v2) == (1, 2)
+
+        # time travel: v1 sees only the first batch; latest sees both
+        assert t.read(spark, version=1).count() == 500
+        assert t.read(spark).count() == 900
+        ids = set(r.point_id for r in t.read(spark).select("point_id").collect())
+        assert ids == set(range(900))
+
+        # manifest-level pruning: a window wholly inside batch-1's
+        # bounds must skip snapshot 2 (its plan reads one directory)
+        pruned = t.read(spark, window=(0.0, 3.0, 0.0, 3.0))
+        assert pruned.count() == 500
+
+        # lineage chain
+        h = t.history()
+        assert [m["version"] for m in h] == [1, 2]
+        assert h[1]["parent"] == 1 and h[0]["source"] == "batch-1"
+        assert h[0]["rows"] == 500 and h[1]["rows"] == 400
+        assert h[0]["bounds"]["x_hi"] <= 4.0
+
+    def test_crash_safe_publish(self, spark, tmp_path):
+        """An orphan data directory without a manifest is invisible."""
+        import os
+        from cuspatial_spark.sources.table import TiledTable
+
+        t = TiledTable(str(tmp_path / "table2"))
+        df = spark.createDataFrame(pd.DataFrame({
+            "point_id": [0, 1], "x": [1.0, 2.0], "y": [1.0, 2.0]}))
+        t.commit(df, "x", "y", 0, 8, 0, 8)
+        # simulate a crashed second commit: data written, no manifest
+        os.makedirs(os.path.join(str(tmp_path / "table2"), "data", "snap-00002"))
+        assert t.current_version() == 1
+        assert t.read(spark).count() == 2

@@ -153,7 +153,13 @@ class TiledTable:
             part = spark.read.option("basePath", m["snapshot_dir"]).parquet(
                 m["snapshot_dir"]
             )
-            out = part if out is None else out.unionByName(part)
+            # snapshots may differ in layout columns (e.g. hilbert_key
+            # only exists in hilbert-clustered commits) — null-fill
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
         if out is None:
             # every snapshot pruned: empty frame with the right schema
             m = self.history()[0]

@@ -516,3 +516,74 @@ class TestTiledTable:
         os.makedirs(os.path.join(str(tmp_path / "table2"), "data", "snap-00002"))
         assert t.current_version() == 1
         assert t.read(spark).count() == 2
+
+
+class TestIngestPipeline:
+    def test_streaming_ingest_matches_batch(self, spark, tmp_path):
+        """The full web-ingest pipeline (extract -> gates -> geotag ->
+        tile/PIP) drains a stream to exactly the rows the identical
+        batch plan produces, and extraction stays byte-identical."""
+        import tests.golden_fixtures as G
+        from cuspatial_spark.geometry import PolygonArrays
+        from cuspatial_spark.sources.webpages import synth_webpages
+        from cuspatial_spark.streaming.ingest import ingest_pages
+
+        src = str(tmp_path / "pages")
+        synth_webpages(spark, 3000, partitions=4).write.parquet(src)
+        static = spark.read.parquet(src)
+        stream = spark.readStream.schema(static.schema).parquet(src)
+
+        xy = np.empty(2 * len(G.SMALL_POLY_XS))
+        xy[::2] = G.SMALL_POLY_XS
+        xy[1::2] = G.SMALL_POLY_YS
+        polys = PolygonArrays.from_polygons_xy(
+            xy, G.SMALL_RING_OFFSETS, G.SMALL_POLY_OFFSETS
+        )
+        kw = dict(
+            x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0,
+            scale=8.0 / 258, max_depth=8, tile_level=3,
+            polygons=polys, keep_columns=["url", "text", "extracted_text"],
+        )
+
+        q = (
+            ingest_pages(stream, **kw)
+            .writeStream.format("memory").queryName("ingest")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM ingest").toPandas()
+        want = ingest_pages(static, **kw).toPandas()
+        assert len(got) == len(want) > 0
+        assert set(zip(got.url, got.polygon_id)) == set(zip(want.url, want.polygon_id))
+        # byte-identity invariant survives the streaming plan
+        assert (got.text == got.extracted_text).all()
+
+    def test_ingest_gates_filter(self, spark):
+        """Quality/language gates are real filters (and the gated tile
+        pipeline adds no shuffle)."""
+        from cuspatial_spark.textops.extract import wrap_html
+        from cuspatial_spark.streaming.ingest import ingest_pages
+
+        texts = (
+            ["the fast engine and the scan of the table"] * 6
+            + ["el perro de la casa es muy grande y la gata"] * 3
+            + ["x"] * 2  # too short: fails the quality gate
+        )
+        pages = wrap_html(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": range(len(texts)),
+                        "url": [f"https://s.example/{i}" for i in range(len(texts))],
+                        "text": texts,
+                    }
+                )
+            )
+        )
+        kw = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0,
+                  scale=8.0 / 258, max_depth=8, tile_level=3)
+        assert ingest_pages(pages, **kw).count() == 11
+        en_only = ingest_pages(pages, langs=["en"], min_quality=0.1, **kw)
+        assert en_only.count() == 6
+        plan = en_only._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # gate + tile assign: zero shuffles

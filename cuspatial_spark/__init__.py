@@ -22,5 +22,6 @@ Public surface (mirrors cuspatial/__init__.py:15-43):
 
 from . import functions, geometry, operators, plans  # noqa: F401
 from .geometry import LinestringArrays, PolygonArrays  # noqa: F401
+from .geoseries import GeoSeries  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,97 @@
+"""GeoSeries facade tests — reference-style usage: build from WKT,
+call aligned pairwise methods, get (row_id, value) frames back."""
+
+import numpy as np
+import pytest
+
+from cuspatial_spark import GeoSeries
+
+
+def _vals(df, col):
+    return [r[col] for r in df.orderBy("row_id").collect()]
+
+
+def test_point_point_distance_and_equals(spark):
+    a = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (1 1)"])
+    b = GeoSeries.from_wkt(spark, ["POINT (3 4)", "POINT (1 1)"])
+    assert _vals(a.distance(b), "distance") == [5.0, 0.0]
+    assert _vals(a.geom_equals(b), "geom_equals") == [False, True]
+    assert _vals(a.intersects(b), "intersects") == [False, True]
+
+
+def test_point_polygon_methods(spark):
+    pts = GeoSeries.from_wkt(spark, ["POINT (2 2)", "POINT (2 0)", "POINT (9 9)"])
+    sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    polys = GeoSeries.from_wkt(spark, [sq, sq, sq])
+    assert _vals(pts.within(polys), "within") == [True, False, False]
+    assert _vals(pts.touches(polys), "touches") == [False, True, False]
+    assert _vals(polys.covers(pts), "covers") == [True, True, False]
+    d = _vals(pts.distance(polys), "distance")
+    assert d[0] == 0.0 and d[1] == 0.0 and d[2] == pytest.approx(np.sqrt(50))
+
+
+def test_linestring_methods(spark):
+    a = GeoSeries.from_wkt(
+        spark, ["LINESTRING (0 0, 4 0)", "LINESTRING (0 0, 4 0)"]
+    )
+    b = GeoSeries.from_wkt(
+        spark, ["LINESTRING (4 0, 0 0)", "LINESTRING (1 -1, 1 1)"]
+    )
+    assert _vals(a.geom_equals(b), "geom_equals") == [True, False]
+    assert _vals(a.crosses(b), "crosses") == [False, True]
+    assert _vals(a.covers(b), "covers") == [True, False]
+
+
+def test_polygon_polygon_methods(spark):
+    a = GeoSeries.from_wkt(
+        spark,
+        ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"] * 3,
+    )
+    b = GeoSeries.from_wkt(
+        spark,
+        [
+            "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",   # inside
+            "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))",   # overlaps
+            "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))",  # disjoint
+        ],
+    )
+    assert _vals(a.contains(b), "contains") == [True, False, False]
+    assert _vals(a.overlaps(b), "overlaps") == [False, True, False]
+    assert _vals(a.disjoint(b), "disjoint") == [False, False, True]
+    d = _vals(a.distance(b), "distance")
+    assert d[0] == 0.0 and d[1] == 0.0 and d[2] == pytest.approx(np.sqrt(72))
+
+
+def test_multipoint_methods(spark):
+    a = GeoSeries.from_wkt(spark, ["MULTIPOINT ((0 0), (1 1))"])
+    b = GeoSeries.from_wkt(spark, ["MULTIPOINT ((1 1), (0 0))"])
+    assert _vals(a.geom_equals(b), "geom_equals") == [True]
+    assert _vals(a.distance(b), "distance") == [0.0]
+
+
+def test_mixed_point_linestring(spark):
+    pts = GeoSeries.from_wkt(spark, ["POINT (2 0)", "POINT (0 0)", "POINT (2 2)"])
+    ls = GeoSeries.from_wkt(spark, ["LINESTRING (0 0, 4 0)"] * 3)
+    assert _vals(pts.within(ls), "within") == [True, False, False]
+    assert _vals(pts.touches(ls), "touches") == [False, True, False]
+    assert _vals(pts.distance(ls), "distance") == [0.0, 0.0, 2.0]
+
+
+def test_sizes_iloc_roundtrip(spark):
+    gs = GeoSeries.from_wkt(
+        spark,
+        ["POINT (1 2)", "POINT (3 4)", "POINT (5 6)"],
+    )
+    np.testing.assert_array_equal(gs.sizes, [1, 1, 1])
+    sub = gs.iloc([2, 0])
+    assert sub.to_wkt() == ["POINT (5.0 6.0)", "POINT (1.0 2.0)"]
+
+
+def test_errors(spark):
+    mixed = ["POINT (0 0)", "LINESTRING (0 0, 1 1)"]
+    with pytest.raises(ValueError, match="mixed-kind"):
+        GeoSeries.from_wkt(spark, mixed)
+    a = GeoSeries.from_wkt(spark, ["POINT (0 0)"])
+    b = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (1 1)"])
+    with pytest.raises(ValueError, match="length mismatch"):
+        a.distance(b)

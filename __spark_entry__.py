@@ -342,6 +342,19 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: LSH candidate pairs -> distributed connected
+    components -> (doc_id, canonical_id).  The oracle replays the same
+    pair derivation and resolves components with a recursive CTE."""
+    from cuspatial_spark.operators.graph import dedup_clusters
+    from cuspatial_spark.textops import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=4, band_size=2, shingle_k=8
+    )
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from cuspatial_spark.textops import ngram_jaccard_pairs
 
@@ -977,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
         "hilbert": q_hilbert,
+        "dedup_clusters": q_dedup_clusters,
         "binpreds4": q_binpreds4,
         "binpreds5": q_binpreds5,
     }
@@ -1348,6 +1362,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sig AS ({_minhash_sql(4)}),
+            bands AS (
+              SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS bucket FROM sig
+            ),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id < b.doc_id
+            ),
+            und AS (SELECT id_a AS a, id_b AS b FROM prs
+                    UNION SELECT id_b AS a, id_a AS b FROM prs),
+            reach(v, l) AS (
+              SELECT DISTINCT a AS v, a AS l FROM und
+              UNION
+              SELECT u.b AS v, r.l FROM reach r JOIN und u ON u.a = r.v
+            )
+            SELECT v AS doc_id, min(l) AS canonical_id
+            FROM reach GROUP BY v
         """,
         "simhash": _simhash_sql(),
         "ngram_jaccard": f"""

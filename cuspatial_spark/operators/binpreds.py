@@ -645,13 +645,16 @@ def _ls_poly_touches(lines: LinestringArrays, polys: PolygonArrays, li: int, pi:
     (feature_touches.py LineStringPolygonTouches semantics at vertex
     resolution)."""
     s, e = int(lines.part_offsets[li]), int(lines.part_offsets[li + 1])
-    vx, vy = lines.x[s:e], lines.y[s:e]
+    a0, a1 = gk._feature_segments(lines.part_offsets, li)
+    # probe vertices AND segment midpoints: a chain whose vertices all
+    # sit on the boundary can still run through the interior
+    vx = np.concatenate([lines.x[s:e], (lines.x[a0] + lines.x[a1]) * 0.5])
+    vy = np.concatenate([lines.y[s:e], (lines.y[a0] + lines.y[a1]) * 0.5])
     r0, r1 = int(polys.part_offsets[pi]), int(polys.part_offsets[pi + 1])
     inside = _pip_one_polygon(vx, vy, polys.ring_offsets[r0:r1 + 1], polys.x, polys.y)
     on_bound = _poly_boundary_dist2(vx, vy, polys, pi) == 0.0
     if bool((inside & ~on_bound).any()):
         return False
-    a0, a1 = gk._feature_segments(lines.part_offsets, li)
     v0, v1 = gk._ring_segments_of_polygon(polys.part_offsets, polys.ring_offsets, pi)
     proper = bool(
         gk._segments_intersect(

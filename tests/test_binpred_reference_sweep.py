@@ -1,0 +1,92 @@
+"""Sweep the reference's binpred dispatch-test feature corpus
+(tests/binpred_features.py, data ported from
+cuspatial/testing/test_geometries.py) through the GeoSeries facade:
+
+1. assert every hand-derived expected truth, and
+2. assert DE-9IM consistency properties across ALL features:
+   disjoint == NOT intersects; touches/crosses/overlaps/geom_equals/
+   within each imply intersects.
+
+Batched per type pair: one GeoSeries pair holds every feature of that
+pair, one Spark job per predicate."""
+
+import pytest
+
+from cuspatial_spark import GeoSeries
+from tests.binpred_features import EXPECTED, FEATURES
+
+# predicates the dispatcher supports per (lhs_kind, rhs_kind)
+SUPPORTED = {
+    ("point", "point"): ["intersects", "disjoint", "geom_equals", "within",
+                         "contains", "covers", "touches", "crosses", "overlaps"],
+    ("point", "linestring"): ["intersects", "disjoint", "within", "touches",
+                              "crosses", "geom_equals", "overlaps"],
+    ("point", "polygon"): ["intersects", "disjoint", "within", "touches",
+                           "crosses", "geom_equals", "overlaps"],
+    ("linestring", "linestring"): ["intersects", "disjoint", "geom_equals",
+                                   "covers", "within", "contains", "crosses",
+                                   "touches", "overlaps"],
+    ("linestring", "polygon"): ["intersects", "disjoint", "within", "covers",
+                                "crosses", "touches", "geom_equals"],
+    ("polygon", "polygon"): ["intersects", "disjoint", "geom_equals",
+                             "contains", "covers", "within", "crosses",
+                             "touches", "overlaps"],
+}
+
+
+def _by_pair():
+    groups = {}
+    for name, (lk, lw, rk, rw) in FEATURES.items():
+        groups.setdefault((lk, rk), []).append((name, lw, rw))
+    return groups
+
+
+@pytest.fixture(scope="module")
+def sweep_results(spark):
+    """{(pair): {pred: {feature: bool}}} for every supported combo."""
+    out = {}
+    for pair, rows in _by_pair().items():
+        names = [r[0] for r in rows]
+        lhs = GeoSeries.from_wkt(spark, [r[1] for r in rows])
+        rhs = GeoSeries.from_wkt(spark, [r[2] for r in rows])
+        preds = {}
+        for p in SUPPORTED[pair]:
+            vals = [
+                bool(r[p])
+                for r in getattr(lhs, p)(rhs).orderBy("row_id").collect()
+            ]
+            preds[p] = dict(zip(names, vals))
+        out[pair] = preds
+    return out
+
+
+def test_expected_truths(sweep_results):
+    failures = []
+    for pair, preds in sweep_results.items():
+        for p, per_feature in preds.items():
+            for feature, got in per_feature.items():
+                want = EXPECTED.get(feature, {}).get(p)
+                if want is not None and got != want:
+                    failures.append(f"{feature}.{p}: got {got}, want {want}")
+    assert not failures, "\n".join(failures)
+
+
+def test_consistency_properties(sweep_results):
+    failures = []
+    for pair, preds in sweep_results.items():
+        features = next(iter(preds.values())).keys()
+        for f in features:
+            inter = preds["intersects"][f]
+            if preds["disjoint"][f] == inter:
+                failures.append(f"{f}: disjoint == intersects == {inter}")
+            for implier in ("touches", "crosses", "overlaps", "geom_equals",
+                            "within", "covers", "contains"):
+                if implier in preds and preds[implier][f] and not inter:
+                    failures.append(f"{f}: {implier} but not intersects")
+    assert not failures, "\n".join(failures)
+
+
+def test_every_feature_swept(sweep_results):
+    swept = {f for preds in sweep_results.values()
+             for f in next(iter(preds.values()))}
+    assert swept == set(FEATURES)

@@ -190,6 +190,26 @@ def binpred(
             return bp.polygon_contains_properly_point(
                 df, lhs_layer, result=result, **kw
             )
+        if pair == (POINT, POINT):
+            # proper containment of a point by a point == equality
+            # (feature_contains_properly.py ContainsProperlyByIntersection)
+            return bp.point_intersects_point(df, result=result, **kw)
+        if pair == (LINESTRING, POINT):
+            return bp.point_on_linestring(
+                df, lhs_layer, result=result, interior_only=True, **kw
+            )
+        if pair == (POLYGON, MULTIPOINT):
+            return bp.polygon_contains_properly_multipoint(
+                df, lhs_layer, rhs_layer, result=result, **kw
+            )
+        if pair == (POLYGON, LINESTRING):
+            return bp.polygon_contains_properly_linestring(
+                df, lhs_layer, rhs_layer, result=result, **kw
+            )
+        if pair == (POLYGON, POLYGON):
+            return bp.polygon_contains_properly_polygon(
+                df, lhs_layer, rhs_layer, result=result, **kw
+            )
         raise NotImplementedError(f"contains_properly not implemented for {pair}")
 
     if p == "covers":

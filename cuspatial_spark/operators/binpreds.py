@@ -785,3 +785,96 @@ def polygon_overlaps_polygon(
     return _map_bool(
         df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
     )
+
+
+def polygon_contains_properly_multipoint(
+    df: DataFrame, polygons: PolygonArrays, mps,
+    polygon_idx: str = "polygon_index", mp_idx: str = "multipoint_index",
+    result: str = "contains_properly",
+) -> DataFrame:
+    """Every point strictly inside (ray-cast, boundary excluded) —
+    feature_contains_properly.py ContainsProperlyPredicate."""
+
+    def pair(p, m):
+        s, e = int(mps.part_offsets[m]), int(mps.part_offsets[m + 1])
+        xs, ys = mps.x[s:e], mps.y[s:e]
+        r0, r1 = int(polygons.part_offsets[p]), int(polygons.part_offsets[p + 1])
+        inside = _pip_one_polygon(
+            xs, ys, polygons.ring_offsets[r0:r1 + 1], polygons.x, polygons.y
+        )
+        on_b = _poly_boundary_dist2(xs, ys, polygons, p) == 0.0
+        return bool((inside & ~on_b).all())
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, polygon_idx, mp_idx, pair), result
+    )
+
+
+def polygon_contains_properly_linestring(
+    df: DataFrame, polygons: PolygonArrays, lines: LinestringArrays,
+    polygon_idx: str = "polygon_index", line_idx: str = "linestring_index",
+    result: str = "contains_properly",
+) -> DataFrame:
+    """Every vertex AND segment midpoint strictly inside, no proper
+    edge crossing — the strict counterpart of linestring_within_polygon."""
+
+    def pair(p, li):
+        s, e = int(lines.part_offsets[li]), int(lines.part_offsets[li + 1])
+        a0, a1 = gk._feature_segments(lines.part_offsets, li)
+        xs = np.concatenate([lines.x[s:e], (lines.x[a0] + lines.x[a1]) * 0.5])
+        ys = np.concatenate([lines.y[s:e], (lines.y[a0] + lines.y[a1]) * 0.5])
+        r0, r1 = int(polygons.part_offsets[p]), int(polygons.part_offsets[p + 1])
+        inside = _pip_one_polygon(
+            xs, ys, polygons.ring_offsets[r0:r1 + 1], polygons.x, polygons.y
+        )
+        on_b = _poly_boundary_dist2(xs, ys, polygons, p) == 0.0
+        if not bool((inside & ~on_b).all()):
+            return False
+        v0, v1 = gk._ring_segments_of_polygon(
+            polygons.part_offsets, polygons.ring_offsets, p
+        )
+        return not bool(
+            gk._segments_intersect(
+                lines.x[a0][:, None], lines.y[a0][:, None],
+                lines.x[a1][:, None], lines.y[a1][:, None],
+                polygons.x[v0][None, :], polygons.y[v0][None, :],
+                polygons.x[v1][None, :], polygons.y[v1][None, :],
+            ).any()
+        )
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, polygon_idx, line_idx, pair), result
+    )
+
+
+def polygon_contains_properly_polygon(
+    df: DataFrame, lhs: PolygonArrays, rhs: PolygonArrays,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "contains_properly",
+) -> DataFrame:
+    """Every rhs vertex and edge midpoint strictly inside lhs, no
+    proper edge crossing — strict counterpart of
+    polygon_contains_polygon."""
+
+    def pair(a, b):
+        b0, b1 = gk._ring_segments_of_polygon(rhs.part_offsets, rhs.ring_offsets, b)
+        xs = np.concatenate([rhs.x[b0], (rhs.x[b0] + rhs.x[b1]) * 0.5])
+        ys = np.concatenate([rhs.y[b0], (rhs.y[b0] + rhs.y[b1]) * 0.5])
+        lr0, lr1 = int(lhs.part_offsets[a]), int(lhs.part_offsets[a + 1])
+        inside = _pip_one_polygon(xs, ys, lhs.ring_offsets[lr0:lr1 + 1], lhs.x, lhs.y)
+        on_b = _poly_boundary_dist2(xs, ys, lhs, a) == 0.0
+        if not bool((inside & ~on_b).all()):
+            return False
+        v0, v1 = gk._ring_segments_of_polygon(lhs.part_offsets, lhs.ring_offsets, a)
+        return not bool(
+            gk._segments_intersect(
+                lhs.x[v0][:, None], lhs.y[v0][:, None],
+                lhs.x[v1][:, None], lhs.y[v1][:, None],
+                rhs.x[b0][None, :], rhs.y[b0][None, :],
+                rhs.x[b1][None, :], rhs.y[b1][None, :],
+            ).any()
+        )
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )

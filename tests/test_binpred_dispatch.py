@@ -168,6 +168,31 @@ def test_polygon_polygon(spark):
     assert _run(spark, "within", "polygon", "polygon", rows_w, lhs_layer=POLYS, rhs_layer=POLYS) == [True, False]
 
 
+def test_contains_properly_matrix(spark):
+    # (polygon, multipoint): strictly-inside vs boundary-touching
+    rows = {"case": [0, 1], "polygon_index": [0, 0], "multipoint_index": [0, 1]}
+    assert _run(spark, "contains_properly", "polygon", "multipoint", rows,
+                lhs_layer=POLYS, rhs_layer=MPS) == [True, False]
+    # (polygon, linestring): interior L1 yes; boundary L0 no; crossing L2 no
+    rows = {"case": [0, 1, 2], "polygon_index": [0, 0, 0],
+            "linestring_index": [1, 0, 2]}
+    assert _run(spark, "contains_properly", "polygon", "linestring", rows,
+                lhs_layer=POLYS, rhs_layer=LINES) == [True, False, False]
+    # (polygon, polygon): P1 strictly inside P0; P5 == P0 (boundary) no
+    rows = {"case": [0, 1], "lhs_index": [0, 0], "rhs_index": [1, 5]}
+    assert _run(spark, "contains_properly", "polygon", "polygon", rows,
+                lhs_layer=POLYS, rhs_layer=POLYS) == [True, False]
+    # (linestring, point): interior of L0 yes; endpoint no
+    rows = {"case": [0, 1], "x": [2.0, 0.0], "y": [0.0, 0.0],
+            "linestring_index": [0, 0]}
+    assert _run(spark, "contains_properly", "linestring", "point", rows,
+                lhs_layer=LINES) == [True, False]
+    # (point, point): equality
+    rows = {"case": [0, 1], "x": [1.0, 1.0], "y": [1.0, 1.0],
+            "x2": [1.0, 2.0], "y2": [1.0, 1.0]}
+    assert _run(spark, "contains_properly", "point", "point", rows) == [True, False]
+
+
 def test_unimplemented_raises(spark):
     df = spark.createDataFrame(pd.DataFrame({"case": [0]}))
     with pytest.raises(NotImplementedError):

@@ -18,7 +18,8 @@ from tests.binpred_features import EXPECTED, FEATURES
 # predicates the dispatcher supports per (lhs_kind, rhs_kind)
 SUPPORTED = {
     ("point", "point"): ["intersects", "disjoint", "geom_equals", "within",
-                         "contains", "covers", "touches", "crosses", "overlaps"],
+                         "contains", "covers", "touches", "crosses", "overlaps",
+                         "contains_properly"],
     ("point", "linestring"): ["intersects", "disjoint", "within", "touches",
                               "crosses", "geom_equals", "overlaps"],
     ("point", "polygon"): ["intersects", "disjoint", "within", "touches",
@@ -30,7 +31,7 @@ SUPPORTED = {
                                 "crosses", "touches", "geom_equals"],
     ("polygon", "polygon"): ["intersects", "disjoint", "geom_equals",
                              "contains", "covers", "within", "crosses",
-                             "touches", "overlaps"],
+                             "touches", "overlaps", "contains_properly"],
 }
 
 

@@ -257,7 +257,7 @@ def q_nearest_linestring(spark, sf_dir):
     pts = _points(spark, sf_dir).select("event_id", "x", "y")
     return point_to_nearest_linestring_join(
         pts, _linestrings(), expansion_radius=16.0, **AOI,
-        max_depth=MAX_DEPTH, tile_level=2, keep_columns=["event_id"],
+        max_depth=MAX_DEPTH, tile_level=3, keep_columns=["event_id"],
     ).select("event_id", "linestring_id", "distance")
 
 

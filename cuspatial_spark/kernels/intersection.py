@@ -126,7 +126,18 @@ def pairwise_linestring_intersection(
                     ):
                         on_seg = True
                         break
-            if not on_seg and (x, y) not in kept:
+            if on_seg:
+                continue
+            # ULP-tolerant merge: the same geometric point computed
+            # from two segment parametrizations (e.g. a chain that
+            # retraces a segment in the opposite direction) can differ
+            # in the last ulp, so exact-key dedup is order-dependent
+            dup = any(
+                float_equal(np.float64(x), np.float64(kx))
+                and float_equal(np.float64(y), np.float64(ky))
+                for (kx, ky) in kept
+            )
+            if not dup:
                 kept[(x, y)] = (lseg, rseg)
         for (x, y), (lseg, rseg) in kept.items():
             out_pair.append(pi)

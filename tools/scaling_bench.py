@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_PAGES = int(os.environ.get("SCALING_N_PAGES", "256000000"))
 GRID = int(os.environ.get("SCALING_POLY_GRID", "5"))  # GRID^2 x 4 polygons
 LEVELS = tuple(int(v) for v in os.environ.get('SCALING_LEVELS', '8,32').split(','))
+# 'pip' = flagship tile-filtered PIP join; 'extract' = HTML->text
+# extraction over the synthetic web-pages table (scan/CPU-bound
+# codegen regexp chain — the north rule's other half)
+JOB = os.environ.get("SCALING_JOB", "pip")
+N_EXTRACT = int(os.environ.get("SCALING_N_EXTRACT", "4000000"))
 AOI = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0)
 
 
@@ -93,6 +98,37 @@ def run_child(cpus: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if JOB == "extract":
+        from pyspark.sql import functions as F
+
+        from cuspatial_spark.sources.webpages import synth_webpages
+        from cuspatial_spark.textops.extract import extract_text
+
+        pages = synth_webpages(spark, N_EXTRACT, partitions=cpus * 4).cache()
+        pages.count()
+        # sum(length(extracted)) forces full evaluation of the regexp
+        # chain (count() would prune the projection).  The aggregate
+        # Dataset must be REBUILT per run: re-collecting one Dataset
+        # reuses its shuffle-map output and skips the whole map stage.
+        def job():
+            return extract_text(pages, "html").agg(
+                F.sum(F.length("extracted_text")).alias("total")
+            )
+
+        job().collect()  # warmup
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            total = job().collect()[0]["total"]
+            runs.append(time.perf_counter() - t0)
+        dt = min(runs)
+        print(json.dumps({"cpus": cpus, "seconds": round(dt, 3),
+                          "all_runs": [round(r, 3) for r in runs],
+                          "rows": N_EXTRACT, "bytes_out": int(total),
+                          "rows_per_sec": round(N_EXTRACT / dt, 1)}))
+        spark.stop()
+        return
+
     polys = _scaled_polygons()
     pts = _points(spark, N_PAGES, partitions=cpus * 4).cache()
     pts.count()  # materialize input before timing
@@ -130,8 +166,11 @@ def main() -> None:
     n, m = min(LEVELS), max(LEVELS)
     eff = results[n]["seconds"] / ((m / n) * results[m]["seconds"])
     print(json.dumps({
-        "job": "tile-filtered point-in-polygon join (cached input)",
-        "rows": N_PAGES,
+        "job": (
+            "tile-filtered point-in-polygon join (cached input)"
+            if JOB == "pip" else "HTML->text extraction (cached input)"
+        ),
+        "rows": N_PAGES if JOB == "pip" else N_EXTRACT,
         f"local[{n}]": results[n],
         f"local[{m}]": results[m],
         "scaling_efficiency": round(eff, 3),

@@ -140,6 +140,10 @@ def binpred(
             return bp.polygon_contains_multipoint(
                 df, rhs_layer, lhs_layer, result=result, **kw
             )
+        if pair == (MULTIPOINT, LINESTRING):
+            return bp.multipoint_on_linestring(
+                df, lhs_layer, rhs_layer, result=result, mode="all", **kw
+            )
         if pair == (LINESTRING, POLYGON):
             return bp.linestring_within_polygon(
                 df, lhs_layer, rhs_layer, result=result, **kw
@@ -231,6 +235,10 @@ def binpred(
             )
         if pair == (LINESTRING, POINT):
             return bp.point_on_linestring(df, lhs_layer, result=result, **kw)
+        if pair == (LINESTRING, MULTIPOINT):
+            return bp.multipoint_on_linestring(
+                df, rhs_layer, lhs_layer, result=result, mode="all", **kw
+            )
         if pair == (LINESTRING, LINESTRING):
             return bp.linestring_covers_linestring(
                 df, lhs_layer, rhs_layer, result=result, **kw
@@ -299,8 +307,19 @@ def binpred(
             return bp.polygon_touches_polygon(
                 df, lhs_layer, rhs_layer, result=result, **kw
             )
-        if pair == (POINT, POINT):
-            return _const(df, result, False)  # ImpossiblePredicate
+        if pair == (MULTIPOINT, LINESTRING):
+            return bp.multipoint_on_linestring(
+                df, lhs_layer, rhs_layer, result=result, mode="touches", **kw
+            )
+        if pair == (LINESTRING, MULTIPOINT):
+            return bp.multipoint_on_linestring(
+                df, rhs_layer, lhs_layer, result=result, mode="touches", **kw
+            )
+        if pair in ((POINT, POINT), (POINT, MULTIPOINT), (MULTIPOINT, POINT),
+                    (MULTIPOINT, MULTIPOINT)):
+            # 0-dim features have empty boundaries: touches is
+            # unsatisfiable (interiors are the points themselves)
+            return _const(df, result, False)
         raise NotImplementedError(f"touches not implemented for {pair}")
 
     if p == "overlaps":

@@ -878,3 +878,38 @@ def polygon_contains_properly_polygon(
     return _map_bool(
         df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
     )
+
+
+def multipoint_on_linestring(
+    df: DataFrame, mps, lines: LinestringArrays,
+    mp_idx: str = "multipoint_index", line_idx: str = "linestring_index",
+    result: str = "on", mode: str = "all",
+) -> DataFrame:
+    """Multipoint vs linestring point-set predicates.
+
+    mode='all'     -> every point on the chain (within/covers shape)
+    mode='touches' -> at least one point on the chain, none on its
+                      interior (contact only at chain endpoints)
+    """
+
+    def pair(m, li):
+        s, e = int(mps.part_offsets[m]), int(mps.part_offsets[m + 1])
+        xs, ys = mps.x[s:e], mps.y[s:e]
+        s0, s1 = gk._feature_segments(lines.part_offsets, li)
+        d2 = point_segment_distance_squared(
+            xs[:, None], ys[:, None],
+            lines.x[s0][None, :], lines.y[s0][None, :],
+            lines.x[s1][None, :], lines.y[s1][None, :],
+        ).min(axis=1)
+        on = d2 == 0.0
+        if mode == "all":
+            return bool(on.all())
+        ls_, le_ = int(lines.part_offsets[li]), int(lines.part_offsets[li + 1])
+        at_start = (xs == lines.x[ls_]) & (ys == lines.y[ls_])
+        at_end = (xs == lines.x[le_ - 1]) & (ys == lines.y[le_ - 1])
+        interior = on & ~(at_start | at_end)
+        return bool(on.any()) and not bool(interior.any())
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, mp_idx, line_idx, pair), result
+    )

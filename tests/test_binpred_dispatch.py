@@ -110,6 +110,27 @@ def test_multipoint_polygon(spark):
     assert _run(spark, "intersects", "multipoint", "polygon", rows, lhs_layer=MPS, rhs_layer=POLYS) == [True, True, True]
 
 
+def test_multipoint_linestring(spark):
+    # M4 = both points on L0's interior; M5 = endpoints of L0;
+    # M6 = one on / one off
+    mps = MultipointArrays(
+        [0, 2, 4, 6],
+        [1.0, 2.0,  0.0, 4.0,  1.0, 9.0],
+        [0.0, 0.0,  0.0, 0.0,  0.0, 9.0],
+    )
+    rows = {"case": [0, 1, 2], "multipoint_index": [0, 1, 2],
+            "linestring_index": [0, 0, 0]}
+    assert _run(spark, "within", "multipoint", "linestring", rows,
+                lhs_layer=mps, rhs_layer=LINES) == [True, True, False]
+    assert _run(spark, "covers", "linestring", "multipoint", rows,
+                lhs_layer=LINES, rhs_layer=mps) == [True, True, False]
+    assert _run(spark, "touches", "multipoint", "linestring", rows,
+                lhs_layer=mps, rhs_layer=LINES) == [False, True, False]
+    assert _run(spark, "touches", "point", "multipoint",
+                {"case": [0], "x": [1.0], "y": [1.0], "multipoint_index": [0]},
+                rhs_layer=MPS) == [False]
+
+
 def test_multipoint_equals(spark):
     rows = {"case": [0, 1], "lhs_index": [0, 0], "rhs_index": [3, 1]}
     assert _run(spark, "geom_equals", "multipoint", "multipoint", rows, lhs_layer=MPS, rhs_layer=MPS) == [True, False]

@@ -144,6 +144,10 @@ def binpred(
             return bp.multipoint_on_linestring(
                 df, lhs_layer, rhs_layer, result=result, mode="all", **kw
             )
+        if pair == (MULTIPOINT, MULTIPOINT):
+            return bp.multipoint_within_multipoint(
+                df, lhs_layer, rhs_layer, result=result, **kw
+            )
         if pair == (LINESTRING, POLYGON):
             return bp.linestring_within_polygon(
                 df, lhs_layer, rhs_layer, result=result, **kw
@@ -219,6 +223,13 @@ def binpred(
     if p == "covers":
         if pair == (POINT, POINT):
             return bp.point_intersects_point(df, result=result, **kw)
+        if pair == (MULTIPOINT, POINT):
+            return bp.multipoint_covers_point(df, lhs_layer, result=result, **kw)
+        if pair == (MULTIPOINT, MULTIPOINT):
+            # covers(a, b): every b point is an a point (subset swap)
+            return bp.multipoint_within_multipoint(
+                df, rhs_layer, lhs_layer, result=result, **_swap_idx(kw)
+            )
         if pair == (POLYGON, POINT):
             return bp.polygon_covers_point(df, lhs_layer, result=result, **kw)
         if pair == (POLYGON, MULTIPOINT):

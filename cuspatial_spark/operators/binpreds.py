@@ -913,3 +913,50 @@ def multipoint_on_linestring(
     return _map_bool(
         df, lambda pdf: _unique_pair_map(pdf, mp_idx, line_idx, pair), result
     )
+
+
+def multipoint_within_multipoint(
+    df: DataFrame, lhs, rhs,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "within",
+) -> DataFrame:
+    """Point-set subset: every lhs point equals some rhs point
+    (within/covers for multipoint pairs, via the equals-count kernel)."""
+
+    def pair(a, b):
+        cnt = gk.pairwise_multipoint_equals_count(
+            [0, lhs.part_offsets[a + 1] - lhs.part_offsets[a]],
+            lhs.x[lhs.part_offsets[a]:lhs.part_offsets[a + 1]],
+            lhs.y[lhs.part_offsets[a]:lhs.part_offsets[a + 1]],
+            [0, rhs.part_offsets[b + 1] - rhs.part_offsets[b]],
+            rhs.x[rhs.part_offsets[b]:rhs.part_offsets[b + 1]],
+            rhs.y[rhs.part_offsets[b]:rhs.part_offsets[b + 1]],
+        )[0]
+        return bool(cnt == lhs.part_offsets[a + 1] - lhs.part_offsets[a])
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
+
+
+def multipoint_covers_point(
+    df: DataFrame, mps,
+    x: str = "x", y: str = "y", mp_idx: str = "multipoint_index",
+    result: str = "covers",
+) -> DataFrame:
+    """Point membership in the multipoint's point set."""
+
+    def fn(pdf):
+        xs, ys = pdf[x].to_numpy(), pdf[y].to_numpy()
+        mi = pdf[mp_idx].to_numpy()
+        out = np.zeros(len(pdf), dtype=bool)
+        for m in np.unique(mi):
+            sel = mi == m
+            s, e = int(mps.part_offsets[m]), int(mps.part_offsets[m + 1])
+            out[sel] = (
+                (xs[sel][:, None] == mps.x[None, s:e])
+                & (ys[sel][:, None] == mps.y[None, s:e])
+            ).any(axis=1)
+        return out
+
+    return _map_bool(df, fn, result)

@@ -136,6 +136,21 @@ def test_multipoint_equals(spark):
     assert _run(spark, "geom_equals", "multipoint", "multipoint", rows, lhs_layer=MPS, rhs_layer=MPS) == [True, False]
 
 
+def test_multipoint_subset(spark):
+    # sub = {(1,1)} ⊆ M0 = {(1,1),(2,2)}; not ⊆ M1
+    sub = MultipointArrays([0, 1], [1.0], [1.0])
+    rows = {"case": [0, 1], "lhs_index": [0, 0], "rhs_index": [0, 1]}
+    assert _run(spark, "within", "multipoint", "multipoint", rows,
+                lhs_layer=sub, rhs_layer=MPS) == [True, False]
+    rows2 = {"case": [0, 1], "lhs_index": [0, 1], "rhs_index": [0, 0]}
+    assert _run(spark, "covers", "multipoint", "multipoint", rows2,
+                lhs_layer=MPS, rhs_layer=sub) == [True, False]
+    rows3 = {"case": [0, 1], "x": [2.0, 3.0], "y": [2.0, 3.0],
+             "multipoint_index": [0, 0]}
+    assert _run(spark, "covers", "multipoint", "point", rows3,
+                lhs_layer=MPS) == [True, False]
+
+
 # --------------------------------------------------- linestring combos
 
 

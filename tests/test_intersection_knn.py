@@ -51,6 +51,41 @@ class TestIntersectionKernel:
         # expect ONLY the overlap segment; the (3,0) corner point lies on it
         assert list(kind) == [1]
 
+    def test_collinear_endpoint_touch_is_point_and_symmetric(self):
+        # Regression (round-2 verdict #1): collinear segments touching
+        # at one endpoint — a=(0,0)->(1.5,0), b=(4,0)->(1.5,0) — must
+        # classify as a POINT in BOTH operand orders, never a spurious
+        # degenerate overlap segment.  Root cause was t1 computed as
+        # t0 + (s.r)/rr (accumulated rounding); now t1 is an
+        # independent projection of d onto r.
+        a = _lines([[(0.0, 0.0), (1.5, 0.0)]])
+        b = _lines([[(4.0, 0.0), (1.5, 0.0)]])
+        for lhs, rhs in [(a, b), (b, a)]:
+            pair, kind, coords, _, _ = kint(
+                [0], [0],
+                lhs.part_offsets, lhs.x, lhs.y,
+                rhs.part_offsets, rhs.x, rhs.y,
+            )
+            assert list(kind) == [0], f"expected single point, got kinds {list(kind)}"
+            np.testing.assert_allclose(coords[0], [1.5, 0.0])
+
+    def test_multisegment_chain_vectorized_matches(self):
+        # A chain crossing another chain several times exercises the
+        # offset-flattened candidate enumeration (lseg/rseg recovery).
+        a = _lines([[(0, 0), (4, 0), (4, 4), (0, 4)]])  # 3 segments
+        b = _lines([[(1, -1), (1, 5), (3, 5), (3, -1)]])  # 3 segments
+        pair, kind, coords, lseg, rseg = kint(
+            [0], [0], a.part_offsets, a.x, a.y, b.part_offsets, b.x, b.y
+        )
+        got = sorted((tuple(c), int(l), int(r)) for c, l, r in zip(coords, lseg, rseg))
+        assert list(kind) == [0, 0, 0, 0]
+        assert got == [
+            ((1.0, 0.0), 0, 0),
+            ((1.0, 4.0), 2, 0),
+            ((3.0, 0.0), 0, 2),
+            ((3.0, 4.0), 2, 2),
+        ]
+
     def test_disjoint(self):
         a = _lines([[(0, 0), (1, 0)]])
         b = _lines([[(0, 5), (1, 5)]])

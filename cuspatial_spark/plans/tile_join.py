@@ -302,19 +302,43 @@ def point_to_nearest_linestring_join(
     tile_level: int = 8,
     keep_columns: list[str] | None = None,
     refine: str = "auto",
+    progressive: bool | str = "auto",
+    progressive_threshold: float = 16.0,
 ) -> DataFrame:
     """Distributed nearest-linestring: candidate linestrings per point
     come from the expanded-bbox tile cover; per point the minimum
     distance (and its linestring) is reduced per candidate batch plus a
     final groupBy min for batch boundaries.
 
-    Points whose tile meets no expanded bbox are dropped (same
-    reachability contract as the reference's bbox filter).
+    Points whose tile meets no bbox expanded by ``expansion_radius``
+    are dropped (same reachability contract as the reference's bbox
+    filter, core/spatial/join.py:317-320 semantics).
+
+    Progressive radius widening (the 100-TB candidate bound): a large
+    ``expansion_radius`` naively replicates every point to every
+    linestring whose expanded bbox covers its tile — with an AOI-sized
+    radius that is an undeclared cross join.  Instead the join runs in
+    rounds with radius tile, 2*tile, 4*tile, ..., expansion_radius.
+    A round's candidate set provably contains EVERY linestring whose
+    true distance <= that round's radius (a bbox expanded by r around a
+    line at distance <= r covers the point, hence the point's tile), so
+    any point whose round-minimum distance is < r is globally resolved
+    and leaves the join; only still-unresolved points (an exponentially
+    shrinking set) are re-joined at the doubled radius.  Total
+    candidate rows stay O(|points| * hit_density) instead of
+    O(|points| * |linestrings|).
 
     refine: 'jvm' computes min segment distance as a JVM higher-order
     expression over a broadcast-joined segment table (no Python);
     'kernel' uses the Arrow-batched NumPy kernel; 'auto' picks 'jvm'
     for layers with <= 200k vertices (broadcast-size bound).
+
+    progressive: 'auto' engages radius widening only when the full-
+    radius tile cover averages more than ``progressive_threshold``
+    linestrings per tile — below that the single-shot join's candidate
+    set is already <= threshold * |points| and the extra rounds
+    (shuffle + checkpoint each) cost more than they save.  The cover
+    density is known driver-side for free from the bbox-tile table.
     """
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
@@ -323,75 +347,124 @@ def point_to_nearest_linestring_join(
         refine = "jvm" if len(linestrings.x) <= 200_000 else "kernel"
 
     spark = points.sparkSession
-    minx, miny, maxx, maxy = linestrings.bounding_boxes(expansion_radius)
-    bbox_idx, tiles = tiles_covering_bboxes(
-        minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
-    )
-    line_tiles = spark.createDataFrame(
-        pd.DataFrame({"tile": tiles, "__line_idx": bbox_idx}),
-        schema="tile: long, __line_idx: long",
-    )
-
-    pts = assign_tiles(
-        points, x, y, x_min, x_max, y_min, y_max, scale, max_depth, tile_level
-    )
     need = list(dict.fromkeys(keep + [x, y]))
-    candidates = pts.join(F.broadcast(line_tiles), on="tile", how="inner").select(
-        *need, "__line_idx"
-    )
+    INF = float("inf")
 
-    if refine == "jvm":
-        seg_df = _linestring_segments_df(spark, linestrings)
-        inf = float(np.finfo(np.float64).max)
-        d2 = F.aggregate(
-            F.col("__segs"),
-            F.lit(inf),
-            lambda acc, s: F.least(acc, _point_segment_d2_expr(F.col(x), F.col(y), s)),
+    tile_size = scale * (1 << (max_depth - tile_level))
+    if progressive == "auto":
+        minx, miny, maxx, maxy = linestrings.bounding_boxes(expansion_radius)
+        _, full_tiles = tiles_covering_bboxes(
+            minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
         )
-        scored = candidates.join(F.broadcast(seg_df), on="__line_idx").select(
-            *keep,
-            "linestring_id",
-            F.sqrt(d2).alias("distance"),
-        )
-        return (
-            scored.groupBy(*keep)
-            .agg(F.min(F.struct("distance", "linestring_id")).alias("__m"))
-            .select(*keep, F.col("__m.linestring_id").alias("linestring_id"),
-                    F.col("__m.distance").alias("distance"))
-        )
+        lines_per_tile = len(full_tiles) / float(1 << (2 * tile_level))
+        progressive = lines_per_tile > progressive_threshold
+    if progressive and expansion_radius > tile_size:
+        radii = []
+        r = tile_size
+        while r < expansion_radius:
+            radii.append(r)
+            r *= 2.0
+        radii.append(float(expansion_radius))
+    else:
+        radii = [float(expansion_radius)]
 
-    mid_schema = StructType(
-        [f for f in points.schema.fields if f.name in keep]
-        + [
-            StructField("linestring_id", LongType(), False),
-            StructField("distance", DoubleType(), False),
-        ]
-    )
+    seg_df = _linestring_segments_df(spark, linestrings) if refine == "jvm" else None
     part_offsets, lx, ly, lids = (
         linestrings.part_offsets, linestrings.x, linestrings.y, linestrings.ids,
     )
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            d = point_linestring_distance_pairs(
-                pdf[x].to_numpy(), pdf[y].to_numpy(),
-                pdf["__line_idx"].to_numpy(), part_offsets, lx, ly,
-            )
-            out = pdf[keep].copy()
-            out["linestring_id"] = lids[pdf["__line_idx"].to_numpy()]
-            out["distance"] = d.astype(np.float64)
-            yield out
-
-    refined = candidates.mapInPandas(refine, schema=mid_schema)
-    # final per-point min reduction (map-side partial agg; ties -> min id);
-    # keep_columns must uniquely identify a point (e.g. include its id)
-    return (
-        refined.groupBy(*keep)
-        .agg(
-            F.min(F.struct("distance", "linestring_id")).alias("__m"),
+    def _score_round(pts_df: DataFrame, radius: float) -> DataFrame:
+        """Per-point min (distance, linestring_id) over the candidates
+        of one radius round; unmatched points kept with distance=inf /
+        id=-1 (left join) so they can be carried to the next round."""
+        minx, miny, maxx, maxy = linestrings.bounding_boxes(radius)
+        bbox_idx, tiles = tiles_covering_bboxes(
+            minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
         )
-        .select(*keep, F.col("__m.linestring_id").alias("linestring_id"),
-                F.col("__m.distance").alias("distance"))
-    )
+        line_tiles = spark.createDataFrame(
+            pd.DataFrame({"tile": tiles, "__line_idx": bbox_idx}),
+            schema="tile: long, __line_idx: long",
+        )
+        tiled = assign_tiles(
+            pts_df, x, y, x_min, x_max, y_min, y_max, scale, max_depth, tile_level
+        )
+        candidates = tiled.join(F.broadcast(line_tiles), on="tile", how="left").select(
+            *need, "__line_idx"
+        )
+
+        if refine == "jvm":
+            dmax = float(np.finfo(np.float64).max)
+            d2 = F.aggregate(
+                F.col("__segs"),
+                F.lit(dmax),
+                lambda acc, s: F.least(acc, _point_segment_d2_expr(F.col(x), F.col(y), s)),
+            )
+            scored = candidates.join(F.broadcast(seg_df), on="__line_idx", how="left").select(
+                *need,
+                F.coalesce(F.col("linestring_id"), F.lit(-1)).alias("linestring_id"),
+                F.coalesce(F.sqrt(d2), F.lit(INF)).alias("distance"),
+            )
+        else:
+            mid_schema = StructType(
+                [pts_df.schema[c] for c in need]
+                + [
+                    StructField("linestring_id", LongType(), False),
+                    StructField("distance", DoubleType(), False),
+                ]
+            )
+
+            def refine_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    idx = pdf["__line_idx"].fillna(-1).to_numpy(dtype=np.int64)
+                    valid = idx >= 0
+                    d = np.full(len(pdf), INF)
+                    if valid.any():
+                        d[valid] = point_linestring_distance_pairs(
+                            pdf[x].to_numpy()[valid], pdf[y].to_numpy()[valid],
+                            idx[valid], part_offsets, lx, ly,
+                        )
+                    out = pdf[need].copy()
+                    out["linestring_id"] = np.where(valid, lids[np.where(valid, idx, 0)], -1)
+                    out["distance"] = d
+                    yield out
+
+            scored = candidates.mapInPandas(refine_fn, schema=mid_schema)
+
+        # per-point min reduction (map-side partial agg; ties -> min id);
+        # keep_columns must uniquely identify a point (e.g. include its id)
+        return (
+            scored.groupBy(*need)
+            .agg(F.min(F.struct("distance", "linestring_id")).alias("__m"))
+            .select(*need, F.col("__m.linestring_id").alias("linestring_id"),
+                    F.col("__m.distance").alias("distance"))
+        )
+
+    out_cols = [*keep, "linestring_id", "distance"]
+    results: list[DataFrame] = []
+    carry = points
+    for k, radius in enumerate(radii):
+        scored = _score_round(carry, radius)
+        if len(radii) > 1:
+            # each round's result is consumed twice (accepted rows ->
+            # output union, unresolved rows -> next round's input);
+            # checkpointing flattens the lineage so round k's join is
+            # evaluated once, not once per downstream round
+            scored = scored.localCheckpoint(eager=False)
+        if k == len(radii) - 1:
+            # final round: reference reachability — any candidate match
+            # counts, unreachable points (no candidate at full radius)
+            # are dropped
+            results.append(scored.where(F.col("distance") < INF).select(*out_cols))
+        else:
+            # strictly-less: a line at distance exactly r could fall on
+            # a tile-cover boundary and be missed, so only d < r is
+            # provably the global minimum
+            results.append(scored.where(F.col("distance") < radius).select(*out_cols))
+            carry = scored.where(F.col("distance") >= radius).select(*need)
+
+    out = results[0]
+    for part in results[1:]:
+        out = out.unionByName(part)
+    return out

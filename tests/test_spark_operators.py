@@ -313,6 +313,43 @@ class TestDistributedTileJoin:
         assert len(got) == 71
         np.testing.assert_allclose(got["distance"], golden["distance"], rtol=1e-9)
 
+    @pytest.mark.parametrize("refine", ["jvm", "kernel"])
+    def test_nearest_join_progressive_equals_single_shot(self, spark, refine):
+        # Dense layer (64 linestrings over a 8x8 AOI) with an AOI-sized
+        # expansion radius: progressive radius widening must return the
+        # identical (point -> nearest line, distance) assignment as the
+        # single-shot join, for both refine paths.
+        rng = np.random.default_rng(33)
+        n_lines, pts_per = 64, 4
+        offs = np.arange(n_lines + 1, dtype=np.int64) * pts_per
+        base = rng.uniform(0, 8, size=(n_lines, 2))
+        walk = base[:, None, :] + rng.uniform(-0.5, 0.5, size=(n_lines, pts_per, 2)).cumsum(axis=1)
+        lines = LinestringArrays(offs, walk[:, :, 0].ravel().copy(), walk[:, :, 1].ravel().copy())
+        npts = 500
+        pdf = pd.DataFrame(
+            {
+                "point_id": np.arange(npts, dtype=np.int64),
+                "x": rng.uniform(0, 8, npts),
+                "y": rng.uniform(0, 8, npts),
+            }
+        )
+        pts = spark.createDataFrame(pdf).repartition(8)
+        kw = dict(
+            expansion_radius=16.0, x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0,
+            max_depth=8, tile_level=3, keep_columns=["point_id"], refine=refine,
+        )
+        single = (
+            point_to_nearest_linestring_join(pts, lines, progressive=False, **kw)
+            .orderBy("point_id").toPandas()
+        )
+        prog = (
+            point_to_nearest_linestring_join(pts, lines, progressive=True, **kw)
+            .orderBy("point_id").toPandas()
+        )
+        assert len(single) == len(prog) == npts
+        assert list(single["linestring_id"]) == list(prog["linestring_id"])
+        np.testing.assert_allclose(single["distance"], prog["distance"], rtol=0, atol=0)
+
 
 class TestExpressions:
     def test_spatial_window(self, spark):

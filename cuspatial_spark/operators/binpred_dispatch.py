@@ -160,8 +160,12 @@ def binpred(
             return bp.polygon_contains_polygon(
                 df, rhs_layer, lhs_layer, result=result, **_swap_idx(kw)
             )
-        if lhs_kind == POLYGON:
-            # a 2-D region is never within a lower-dimensional feature
+        if pair == (MULTIPOINT, POINT):
+            # a 0-dim set is within a point only by collapsing onto it
+            return bp.multipoint_equals_point(df, lhs_layer, result=result, **kw)
+        if lhs_kind == POLYGON or pair in ((LINESTRING, POINT), (LINESTRING, MULTIPOINT)):
+            # a feature is never within one of lower dimension
+            # (feature_within.py (LineString, Point): ImpossiblePredicate)
             return _const(df, result, False)
         raise NotImplementedError(f"within not implemented for {pair}")
 
@@ -191,7 +195,25 @@ def binpred(
             return bp.linestring_covers_linestring(
                 df, lhs_layer, rhs_layer, result=result, **kw
             )
-        raise NotImplementedError(f"contains not implemented for {pair}")
+        if pair == (MULTIPOINT, POINT):
+            # interior of a multipoint IS its points: contains == membership
+            return bp.multipoint_covers_point(df, lhs_layer, result=result, **kw)
+        if pair == (MULTIPOINT, MULTIPOINT):
+            # rhs point set is a subset of the lhs point set
+            return bp.multipoint_within_multipoint(
+                df, rhs_layer, lhs_layer, result=result, **_swap_idx(kw)
+            )
+        if pair == (LINESTRING, MULTIPOINT):
+            # all rhs points on the chain, at least one on its interior
+            return bp.multipoint_on_linestring(
+                df, rhs_layer, lhs_layer, result=result, mode="contains", **kw
+            )
+        # remaining combos are reference-impossible: a feature never
+        # contains one of higher dimension, and a point contains only
+        # points (feature_contains.py (Point, MultiPoint)/(Point,
+        # LineString)/(Point, Polygon)/(LineString, Polygon):
+        # ImpossiblePredicate); multipoint lhs vs 1-D/2-D rhs likewise
+        return _const(df, result, False)
 
     if p == "contains_properly":
         if pair == (POLYGON, POINT):
@@ -218,7 +240,35 @@ def binpred(
             return bp.polygon_contains_properly_polygon(
                 df, lhs_layer, rhs_layer, result=result, **kw
             )
-        raise NotImplementedError(f"contains_properly not implemented for {pair}")
+        if pair == (POINT, MULTIPOINT):
+            # reference ContainsProperlyByIntersection: intersection test
+            # (feature_contains_properly.py:176-185,198)
+            out = _distance(df, lhs_kind, rhs_kind, lhs_layer, rhs_layer, **kw)
+            return out.withColumn(result, F.col("distance") == 0.0).drop("distance")
+        if pair == (MULTIPOINT, POINT):
+            # interior of a multipoint IS its points: membership
+            return bp.multipoint_covers_point(df, lhs_layer, result=result, **kw)
+        if pair == (MULTIPOINT, MULTIPOINT):
+            return bp.multipoint_within_multipoint(
+                df, rhs_layer, lhs_layer, result=result, **_swap_idx(kw)
+            )
+        if pair == (LINESTRING, MULTIPOINT):
+            # every rhs point strictly inside the chain (not an endpoint)
+            return bp.multipoint_on_linestring(
+                df, rhs_layer, lhs_layer, result=result, mode="all_interior", **kw
+            )
+        if pair == (LINESTRING, LINESTRING):
+            # reference LineStringLineStringContainsProperly is
+            # equals-based (_basic_equals_all,
+            # feature_contains_properly.py:188-191)
+            return bp.linestring_geom_equals(
+                df, lhs_layer, rhs_layer, result=result, **kw
+            )
+        # remaining combos are impossible: a feature never properly
+        # contains one of higher dimension (feature_contains_properly.py
+        # (Point, LineString)/(Point, Polygon)/(LineString, Polygon):
+        # ImpossiblePredicate); multipoint lhs vs 1-D/2-D rhs likewise
+        return _const(df, result, False)
 
     if p == "covers":
         if pair == (POINT, POINT):
@@ -254,10 +304,14 @@ def binpred(
             return bp.linestring_covers_linestring(
                 df, lhs_layer, rhs_layer, result=result, **kw
             )
-        if pair == (LINESTRING, POLYGON):
-            # a 2-D region is never covered by a 1-D chain
-            return _const(df, result, False)
-        raise NotImplementedError(f"covers not implemented for {pair}")
+        if pair == (POINT, MULTIPOINT):
+            # a point covers a multipoint only if every member equals it
+            return bp.multipoint_equals_point(df, rhs_layer, result=result, **kw)
+        # remaining combos are impossible: a feature never covers one
+        # of higher dimension (feature_covers.py (Point, LineString)/
+        # (Point, Polygon)/(LineString, Polygon)->CoversPredicateBase
+        # False shapes); multipoint lhs vs 1-D/2-D rhs likewise
+        return _const(df, result, False)
 
     if p == "crosses":
         if pair == (LINESTRING, LINESTRING):
@@ -342,11 +396,14 @@ def binpred(
             return bp.polygon_overlaps_polygon(
                 df, lhs_layer, rhs_layer, result=result, **kw
             )
-        if POINT in pair:
-            # equal-dimension requirement fails (feature_overlaps.py
-            # OverlapsPredicateBase -> False for point combos)
-            return _const(df, result, False)
-        raise NotImplementedError(f"overlaps not implemented for {pair}")
+        if pair == (MULTIPOINT, MULTIPOINT):
+            return bp.multipoint_overlaps_multipoint(
+                df, lhs_layer, rhs_layer, result=result, **kw
+            )
+        # every remaining combo mixes dimensions (or is a bare point):
+        # the equal-dimension requirement fails (feature_overlaps.py
+        # OverlapsPredicateBase / ImpossiblePredicate -> False)
+        return _const(df, result, False)
 
     if p == "geom_equals":
         if pair == (POINT, POINT):

@@ -887,9 +887,14 @@ def multipoint_on_linestring(
 ) -> DataFrame:
     """Multipoint vs linestring point-set predicates.
 
-    mode='all'     -> every point on the chain (within/covers shape)
-    mode='touches' -> at least one point on the chain, none on its
-                      interior (contact only at chain endpoints)
+    mode='all'      -> every point on the chain (within/covers shape)
+    mode='touches'  -> at least one point on the chain, none on its
+                       interior (contact only at chain endpoints)
+    mode='contains' -> every point on the chain AND at least one on
+                       its interior (.contains: rhs must meet the
+                       lhs interior, not just its boundary)
+    mode='all_interior' -> every point on the chain's interior
+                       (.contains_properly)
     """
 
     def pair(m, li):
@@ -908,6 +913,10 @@ def multipoint_on_linestring(
         at_start = (xs == lines.x[ls_]) & (ys == lines.y[ls_])
         at_end = (xs == lines.x[le_ - 1]) & (ys == lines.y[le_ - 1])
         interior = on & ~(at_start | at_end)
+        if mode == "contains":
+            return bool(on.all()) and bool(interior.any())
+        if mode == "all_interior":
+            return bool(interior.all())
         return bool(on.any()) and not bool(interior.any())
 
     return _map_bool(
@@ -933,6 +942,60 @@ def multipoint_within_multipoint(
             rhs.y[rhs.part_offsets[b]:rhs.part_offsets[b + 1]],
         )[0]
         return bool(cnt == lhs.part_offsets[a + 1] - lhs.part_offsets[a])
+
+    return _map_bool(
+        df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result
+    )
+
+
+def multipoint_equals_point(
+    df: DataFrame, mps,
+    x: str = "x", y: str = "y", mp_idx: str = "multipoint_index",
+    result: str = "result",
+) -> DataFrame:
+    """Every point of the multipoint equals the row's (x, y) point —
+    i.e. the multipoint's point set is exactly {pt} (within(mp, pt),
+    covers(pt, mp): a 0-dim set fits inside a single point only by
+    collapsing onto it)."""
+
+    def fn(pdf):
+        xs, ys = pdf[x].to_numpy(), pdf[y].to_numpy()
+        mi = pdf[mp_idx].to_numpy()
+        out = np.zeros(len(pdf), dtype=bool)
+        for m in np.unique(mi):
+            sel = mi == m
+            s, e = int(mps.part_offsets[m]), int(mps.part_offsets[m + 1])
+            out[sel] = (
+                (xs[sel][:, None] == mps.x[None, s:e])
+                & (ys[sel][:, None] == mps.y[None, s:e])
+            ).all(axis=1)
+        return out
+
+    return _map_bool(df, fn, result)
+
+
+def multipoint_overlaps_multipoint(
+    df: DataFrame, lhs, rhs,
+    lhs_idx: str = "lhs_index", rhs_idx: str = "rhs_index",
+    result: str = "overlaps",
+) -> DataFrame:
+    """.overlaps for multipoint pairs (same-dimension partial overlap):
+    the point sets share at least one point AND each side has a point
+    the other lacks.  NOTE: shapely/GeoPandas semantics; the reference
+    dispatch maps this cell to ImpossiblePredicate (constant False,
+    feature_overlaps.py:83) — same deliberate deviation as the
+    linestring-linestring overlaps cell."""
+
+    def pair(a, b):
+        al, ah = int(lhs.part_offsets[a]), int(lhs.part_offsets[a + 1])
+        bl, bh = int(rhs.part_offsets[b]), int(rhs.part_offsets[b + 1])
+        shared = (
+            (lhs.x[al:ah][:, None] == rhs.x[None, bl:bh])
+            & (lhs.y[al:ah][:, None] == rhs.y[None, bl:bh])
+        )
+        lhs_in = shared.any(axis=1)
+        rhs_in = shared.any(axis=0)
+        return bool(lhs_in.any()) and not bool(lhs_in.all()) and not bool(rhs_in.all())
 
     return _map_bool(
         df, lambda pdf: _unique_pair_map(pdf, lhs_idx, rhs_idx, pair), result

@@ -229,7 +229,97 @@ def test_contains_properly_matrix(spark):
     assert _run(spark, "contains_properly", "point", "point", rows) == [True, False]
 
 
-def test_unimplemented_raises(spark):
-    df = spark.createDataFrame(pd.DataFrame({"case": [0]}))
-    with pytest.raises(NotImplementedError):
-        binpred(df, "contains_properly", "linestring", "linestring", LINES, LINES)
+def test_residual_cells_truth(spark):
+    """Truth checks for the dispatch cells filled in round 3 (verdict
+    task 4): multipoint rows the reference leaves NotImplemented get
+    real set semantics; reference-impossible rows answer False."""
+    # within (mp, pt) / covers (pt, mp): all mp points equal the point
+    mp_eq = MultipointArrays([0, 2, 3], [1.0, 1.0, 1.0], [1.0, 1.0, 1.0])
+    rows = {"case": [0, 1], "multipoint_index": [0, 0],
+            "x": [1.0, 2.0], "y": [1.0, 2.0]}
+    assert _run(spark, "within", "multipoint", "point", rows,
+                lhs_layer=mp_eq) == [True, False]
+    assert _run(spark, "covers", "point", "multipoint", rows,
+                rhs_layer=mp_eq) == [True, False]
+    # contains / contains_properly (mp, pt): set membership
+    rows2 = {"case": [0, 1], "multipoint_index": [0, 0],
+             "x": [2.0, 3.0], "y": [2.0, 3.0]}
+    assert _run(spark, "contains", "multipoint", "point", rows2,
+                lhs_layer=MPS) == [True, False]
+    assert _run(spark, "contains_properly", "multipoint", "point", rows2,
+                lhs_layer=MPS) == [True, False]
+    # contains_properly (pt, mp): reference is intersection-based
+    assert _run(spark, "contains_properly", "point", "multipoint", rows2,
+                rhs_layer=MPS) == [True, False]
+    # contains (mp, mp): superset
+    sub = MultipointArrays([0, 1], [1.0], [1.0])
+    rows3 = {"case": [0, 1], "lhs_index": [0, 1], "rhs_index": [0, 0]}
+    assert _run(spark, "contains", "multipoint", "multipoint", rows3,
+                lhs_layer=MPS, rhs_layer=sub) == [True, False]
+    # contains / contains_properly (ls, mp): on-chain with interior rules
+    mps_ln = MultipointArrays(
+        [0, 2, 4, 6],
+        [1.0, 2.0,  0.0, 4.0,  1.0, 0.0],
+        [0.0, 0.0,  0.0, 0.0,  0.0, 0.0],
+    )  # M0 both interior of L0; M1 = endpoints; M2 = interior + endpoint
+    rows4 = {"case": [0, 1, 2], "multipoint_index": [0, 1, 2],
+             "linestring_index": [0, 0, 0]}
+    assert _run(spark, "contains", "linestring", "multipoint", rows4,
+                lhs_layer=LINES, rhs_layer=mps_ln) == [True, False, True]
+    assert _run(spark, "contains_properly", "linestring", "multipoint", rows4,
+                lhs_layer=LINES, rhs_layer=mps_ln) == [True, False, False]
+    # contains_properly (ls, ls): reference is equals-based
+    rows5 = {"case": [0, 1], "lhs_index": [0, 0], "rhs_index": [4, 3]}
+    assert _run(spark, "contains_properly", "linestring", "linestring", rows5,
+                lhs_layer=LINES, rhs_layer=LINES) == [True, False]
+    # overlaps (mp, mp): shared point + proper difference both ways
+    a = MultipointArrays([0, 2, 4, 6], [1.0, 2.0, 1.0, 2.0, 5.0, 6.0],
+                         [1.0, 2.0, 1.0, 2.0, 5.0, 6.0])
+    b = MultipointArrays([0, 2], [2.0, 3.0], [2.0, 3.0])
+    rows6 = {"case": [0, 1, 2], "lhs_index": [0, 1, 2], "rhs_index": [0, 0, 0]}
+    # a0={(1,1),(2,2)} vs b={(2,2),(3,3)}: overlap; a1 same as a0: overlap;
+    # a2={(5,5),(6,6)}: disjoint
+    assert _run(spark, "overlaps", "multipoint", "multipoint", rows6,
+                lhs_layer=a, rhs_layer=b) == [True, True, False]
+    # subset is NOT overlap
+    rows7 = {"case": [0], "lhs_index": [0], "rhs_index": [0]}
+    assert _run(spark, "overlaps", "multipoint", "multipoint", rows7,
+                lhs_layer=MPS, rhs_layer=sub) == [False]
+    # reference-impossible cells answer False instead of raising
+    rows8 = {"case": [0], "x": [1.0], "y": [1.0], "multipoint_index": [0],
+             "linestring_index": [0], "polygon_index": [0],
+             "lhs_index": [0], "rhs_index": [0]}
+    assert _run(spark, "contains", "point", "polygon", rows8, rhs_layer=POLYS) == [False]
+    assert _run(spark, "contains", "linestring", "polygon", rows8,
+                lhs_layer=LINES, rhs_layer=POLYS) == [False]
+    assert _run(spark, "within", "linestring", "point", rows8, lhs_layer=LINES) == [False]
+    assert _run(spark, "covers", "multipoint", "polygon", rows8,
+                lhs_layer=MPS, rhs_layer=POLYS) == [False]
+
+
+def test_full_matrix_never_raises(spark):
+    """Every (predicate x lhs_kind x rhs_kind) cell answers: the
+    reference dispatch has an entry for all 160 combos
+    (core/binpreds/binpred_dispatch.py:11-40) and a migrating user
+    must get a boolean column, never NotImplementedError."""
+    from itertools import product
+
+    from cuspatial_spark.operators.binpred_dispatch import PREDICATES
+
+    kinds = {
+        "point": None,
+        "multipoint": MPS,
+        "linestring": LINES,
+        "polygon": POLYS,
+    }
+    rows = {"case": [0], "x": [1.0], "y": [1.0], "x2": [1.0], "y2": [1.0],
+            "multipoint_index": [0], "linestring_index": [0],
+            "polygon_index": [0], "lhs_index": [0], "rhs_index": [0]}
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    lazy = []
+    for p, lk, rk in product(PREDICATES, kinds, kinds):
+        out = binpred(df, p, lk, rk, kinds[lk], kinds[rk], result="r")
+        lazy.append((p, lk, rk, out))
+    for p, lk, rk, out in lazy:
+        got = out.select("r").collect()
+        assert len(got) == 1 and got[0]["r"] in (True, False), (p, lk, rk)

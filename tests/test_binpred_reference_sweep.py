@@ -15,23 +15,20 @@ import pytest
 from cuspatial_spark import GeoSeries
 from tests.binpred_features import EXPECTED, FEATURES
 
-# predicates the dispatcher supports per (lhs_kind, rhs_kind)
+# the dispatcher now answers every (predicate x type-pair) cell —
+# reference-impossible combos return constant False instead of raising
+# (round-2 verdict task 4)
+ALL_PREDICATES = [
+    "intersects", "disjoint", "within", "contains", "contains_properly",
+    "covers", "crosses", "touches", "overlaps", "geom_equals",
+]
 SUPPORTED = {
-    ("point", "point"): ["intersects", "disjoint", "geom_equals", "within",
-                         "contains", "covers", "touches", "crosses", "overlaps",
-                         "contains_properly"],
-    ("point", "linestring"): ["intersects", "disjoint", "within", "touches",
-                              "crosses", "geom_equals", "overlaps"],
-    ("point", "polygon"): ["intersects", "disjoint", "within", "touches",
-                           "crosses", "geom_equals", "overlaps"],
-    ("linestring", "linestring"): ["intersects", "disjoint", "geom_equals",
-                                   "covers", "within", "contains", "crosses",
-                                   "touches", "overlaps"],
-    ("linestring", "polygon"): ["intersects", "disjoint", "within", "covers",
-                                "crosses", "touches", "geom_equals"],
-    ("polygon", "polygon"): ["intersects", "disjoint", "geom_equals",
-                             "contains", "covers", "within", "crosses",
-                             "touches", "overlaps", "contains_properly"],
+    ("point", "point"): ALL_PREDICATES,
+    ("point", "linestring"): ALL_PREDICATES,
+    ("point", "polygon"): ALL_PREDICATES,
+    ("linestring", "linestring"): ALL_PREDICATES,
+    ("linestring", "polygon"): ALL_PREDICATES,
+    ("polygon", "polygon"): ALL_PREDICATES,
 }
 
 

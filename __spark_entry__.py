@@ -94,6 +94,78 @@ def _polygons():
     return PolygonArrays(POLY_OFFSETS, RING_OFFSETS, POLY_X, POLY_Y)
 
 
+# multi-part layers (integer coordinates, exact in f64): 4
+# multilinestrings of 2 parts each (a 3-point chain + a 2-point
+# segment) and 4 multipolygons of 2 triangle parts each
+def _mls():
+    from cuspatial_spark.geometry import MultiLinestringArrays
+
+    part_offsets, xs, ys = [0], [], []
+    for g in range(4):
+        xs += [g, g + 1, g + 2]; ys += [0, 1, 0]
+        part_offsets.append(part_offsets[-1] + 3)
+        xs += [g, g + 1]; ys += [4, 5]
+        part_offsets.append(part_offsets[-1] + 2)
+    return MultiLinestringArrays.from_linestrings_xy(
+        np.asarray([v for p in zip(xs, ys) for v in p], dtype=np.float64),
+        part_offsets, [0, 2, 4, 6, 8],
+    )
+
+
+def _mpoly():
+    from cuspatial_spark.geometry import MultiPolygonArrays
+
+    ring_offsets, xs, ys = [0], [], []
+    for g in range(4):
+        xs += [g, g + 2, g + 1, g]; ys += [g, g, g + 2, g]
+        ring_offsets.append(ring_offsets[-1] + 4)
+        xs += [g + 4, g + 6, g + 5, g + 4]; ys += [g, g, g + 2, g]
+        ring_offsets.append(ring_offsets[-1] + 4)
+    return MultiPolygonArrays.from_polygons_xy(
+        np.asarray([v for p in zip(xs, ys) for v in p], dtype=np.float64),
+        ring_offsets, list(range(9)), [0, 2, 4, 6, 8],
+    )
+
+
+def _mls_seg_values() -> str:
+    """mlsegs(geom_id, ax, ay, bx, by): all part segments per
+    multilinestring geometry."""
+    mls = _mls()
+    po = mls.parts.part_offsets
+    rows = []
+    for g in range(len(mls)):
+        for p in range(mls.geometry_offsets[g], mls.geometry_offsets[g + 1]):
+            for i in range(int(po[p]), int(po[p + 1]) - 1):
+                rows.append(
+                    f"({g}, CAST({mls.parts.x[i]!r} AS DOUBLE), CAST({mls.parts.y[i]!r} AS DOUBLE), "
+                    f"CAST({mls.parts.x[i+1]!r} AS DOUBLE), CAST({mls.parts.y[i+1]!r} AS DOUBLE))"
+                )
+    return ",\n".join(rows)
+
+
+def _mpoly_seg_values() -> str:
+    """mpsegs(geom_id, part_id, ax, ay, bx, by): ring segments per
+    multipolygon part, kernel orientation (prev -> current swapped to
+    (current, prev) like segs)."""
+    mp = _mpoly()
+    po, ro = mp.parts.part_offsets, mp.parts.ring_offsets
+    px, py = mp.parts.x, mp.parts.y
+    rows = []
+    for g in range(len(mp)):
+        for p in range(mp.geometry_offsets[g], mp.geometry_offsets[g + 1]):
+            for r in range(int(po[p]), int(po[p + 1])):
+                s, e = int(ro[r]), int(ro[r + 1])
+                for i in range(s, e):
+                    prev = e - 1 if i == s else i - 1
+                    if px[i] == px[prev] and py[i] == py[prev]:
+                        continue
+                    rows.append(
+                        f"({g}, {p}, CAST({px[i]!r} AS DOUBLE), CAST({py[i]!r} AS DOUBLE), "
+                        f"CAST({px[prev]!r} AS DOUBLE), CAST({py[prev]!r} AS DOUBLE))"
+                    )
+    return ",\n".join(rows)
+
+
 def _linestrings():
     from cuspatial_spark.geometry import LinestringArrays
 
@@ -507,6 +579,23 @@ def q_nearest_points(spark, sf_dir):
     return pairwise_point_linestring_nearest_points(pts, _linestrings()).select(
         "event_id", "segment_id", "nearest_x", "nearest_y"
     )
+
+
+def q_multipart_distance(spark, sf_dir):
+    """Point -> multilinestring and point -> multipolygon distances:
+    the multi-part pairwise family (geometry_offset level expanded to
+    parts by a broadcast join, min-reduced per pair)."""
+    from cuspatial_spark.operators.distance import pairwise_point_linestring_distance
+    from cuspatial_spark.operators.pairwise import pairwise_point_polygon_distance
+
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y",
+        (F.col("event_id") % 4).alias("linestring_index"),
+        ((F.col("event_id") + 1) % 4).alias("polygon_index"),
+    )
+    d1 = pairwise_point_linestring_distance(pts, _mls(), result="mls_dist")
+    d2 = pairwise_point_polygon_distance(d1, _mpoly(), result="mpoly_dist")
+    return d2.select("event_id", "mls_dist", "mpoly_dist")
 
 
 def q_linestring_distance(spark, sf_dir):
@@ -993,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "binpreds4": q_binpreds4,
         "binpreds5": q_binpreds5,
+        "multipart_distance": q_multipart_distance,
     }
 
 
@@ -1888,5 +1978,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST({RASTER['x_min']!r} + (i1 + 1) * {RASTER['cell_size']!r} AS DOUBLE) AS x1,
                    CAST({RASTER['y_min']!r} + (j1 + 1) * {RASTER['cell_size']!r} AS DOUBLE) AS y1
             FROM rects
+        """,
+        "multipart_distance": f"""
+            WITH {pts},
+            mlsegs(geom_id, ax, ay, bx, by) AS (VALUES {_mls_seg_values()}),
+            mpsegs(geom_id, part_id, ax, ay, bx, by) AS (VALUES {_mpoly_seg_values()}),
+            mld AS (
+              SELECT p.event_id,
+                     min({_psd_sql('p.x', 'p.y', 's.ax', 's.ay', 's.bx', 's.by')}) AS d2
+              FROM pts p JOIN mlsegs s ON s.geom_id = p.event_id % 4
+              GROUP BY p.event_id
+            ),
+            mpd_part AS (
+              SELECT p.event_id, s.part_id,
+                     sum({_crossing_sql('p.x', 'p.y', 's')}) AS ncross,
+                     -- segments stored (current, prev); swap for ray-cast
+                     -- parity like the point_polygon_distance oracle
+                     min({_psd_sql('p.x', 'p.y', 's.bx', 's.by', 's.ax', 's.ay')}) AS mind2
+              FROM pts p JOIN mpsegs s ON s.geom_id = (p.event_id + 1) % 4
+              GROUP BY p.event_id, s.part_id, p.x, p.y
+            ),
+            mpd AS (
+              SELECT event_id,
+                     min(CASE WHEN ncross % 2 = 1 THEN 0.0 ELSE sqrt(mind2) END) AS mpoly_dist
+              FROM mpd_part GROUP BY event_id
+            )
+            SELECT m.event_id, sqrt(m.d2) AS mls_dist, d.mpoly_dist
+            FROM mld m JOIN mpd d ON m.event_id = d.event_id
         """,
     }

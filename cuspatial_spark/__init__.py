@@ -21,7 +21,13 @@ Public surface (mirrors cuspatial/__init__.py:15-43):
 """
 
 from . import functions, geometry, operators, plans  # noqa: F401
-from .geometry import LinestringArrays, PolygonArrays  # noqa: F401
+from .geometry import (  # noqa: F401
+    LinestringArrays,
+    MultiLinestringArrays,
+    MultipointArrays,
+    MultiPolygonArrays,
+    PolygonArrays,
+)
 from .geoseries import GeoSeries  # noqa: F401
 
 __version__ = "0.1.0"

@@ -30,6 +30,19 @@ def _as_f(a) -> np.ndarray:
     return a
 
 
+def require_single_part(layer, op_name: str):
+    """Quadtree join kernels accept only single-part geometries — the
+    same validation error as the reference (core/spatial/join.py:71-74
+    'GeoSeries cannot contain multipolygons', join.py:317-320 for
+    multilinestrings; quadtree_point_in_polygon.cuh:118-119)."""
+    if isinstance(layer, (MultiLinestringArrays, MultiPolygonArrays)):
+        raise ValueError(
+            f"{op_name} does not support multi-part geometries; "
+            "flatten to single parts first (reference restriction, "
+            "core/spatial/join.py:71-74,317-320)"
+        )
+
+
 @dataclass
 class PolygonArrays:
     """Flat polygon layer: polygon i spans rings
@@ -126,6 +139,123 @@ class MultipointArrays:
             maxx[i] = self.x[o[i]:o[i + 1]].max()
             miny[i] = self.y[o[i]:o[i + 1]].min()
             maxy[i] = self.y[o[i]:o[i + 1]].max()
+        r = expansion_radius
+        return minx - r, miny - r, maxx + r, maxy + r
+
+
+@dataclass
+class MultiLinestringArrays:
+    """Multi-part linestring layer: geometry i spans parts
+    geometry_offsets[i] .. geometry_offsets[i+1]-1 of the underlying
+    single-part layer (the reference's geometry_offset level,
+    geoseries.py:729-746 from_linestrings_xy).  Parts of one geometry
+    are contiguous, so a geometry's vertex range is contiguous too."""
+
+    geometry_offsets: np.ndarray  # len n_geoms+1 -> part space
+    parts: "LinestringArrays"
+    ids: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        self.geometry_offsets = np.asarray(self.geometry_offsets, dtype=np.int64)
+        if self.ids is None:
+            self.ids = np.arange(len(self), dtype=np.int64)
+        else:
+            self.ids = np.asarray(self.ids, dtype=np.int64)
+
+    @classmethod
+    def from_linestrings_xy(cls, xy, part_offsets, geometry_offsets, ids=None):
+        """Same argument shape as GeoSeries.from_linestrings_xy
+        (geoseries.py:729-746): interleaved xy + part + geometry
+        offsets."""
+        return cls(geometry_offsets, LinestringArrays.from_linestrings_xy(xy, part_offsets), ids)
+
+    def __len__(self):
+        return len(self.geometry_offsets) - 1
+
+    def part_table(self):
+        """(geometry_index, part_index) flat arrays — the broadcast
+        expansion table for part-level kernels."""
+        counts = self.geometry_offsets[1:] - self.geometry_offsets[:-1]
+        geom = np.repeat(np.arange(len(self), dtype=np.int64), counts)
+        part = np.arange(self.geometry_offsets[-1], dtype=np.int64)
+        return geom, part
+
+    def vertex_ranges(self):
+        po = self.parts.part_offsets
+        return po[self.geometry_offsets[:-1]], po[self.geometry_offsets[1:]]
+
+    def bounding_boxes(self, expansion_radius: float = 0.0):
+        """One bbox per GEOMETRY, parts flattened (reference
+        core/spatial/bounding.py:83-130 linestring_bounding_boxes
+        accepts multilinestrings the same way)."""
+        s, e = self.vertex_ranges()
+        n = len(self)
+        minx = np.empty(n)
+        miny = np.empty(n)
+        maxx = np.empty(n)
+        maxy = np.empty(n)
+        for i in range(n):
+            minx[i] = self.parts.x[s[i]:e[i]].min()
+            maxx[i] = self.parts.x[s[i]:e[i]].max()
+            miny[i] = self.parts.y[s[i]:e[i]].min()
+            maxy[i] = self.parts.y[s[i]:e[i]].max()
+        r = expansion_radius
+        return minx - r, miny - r, maxx + r, maxy + r
+
+
+@dataclass
+class MultiPolygonArrays:
+    """Multi-part polygon layer: geometry i spans polygons
+    geometry_offsets[i] .. geometry_offsets[i+1]-1 of the underlying
+    single-part layer (reference geometry_offset level,
+    geoseries.py:776-825 from_polygons_xy)."""
+
+    geometry_offsets: np.ndarray  # len n_geoms+1 -> polygon space
+    parts: "PolygonArrays"
+    ids: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        self.geometry_offsets = np.asarray(self.geometry_offsets, dtype=np.int64)
+        if self.ids is None:
+            self.ids = np.arange(len(self), dtype=np.int64)
+        else:
+            self.ids = np.asarray(self.ids, dtype=np.int64)
+
+    @classmethod
+    def from_polygons_xy(cls, xy, ring_offsets, part_offsets, geometry_offsets, ids=None):
+        return cls(
+            geometry_offsets,
+            PolygonArrays.from_polygons_xy(xy, ring_offsets, part_offsets),
+            ids,
+        )
+
+    def __len__(self):
+        return len(self.geometry_offsets) - 1
+
+    def part_table(self):
+        counts = self.geometry_offsets[1:] - self.geometry_offsets[:-1]
+        geom = np.repeat(np.arange(len(self), dtype=np.int64), counts)
+        part = np.arange(self.geometry_offsets[-1], dtype=np.int64)
+        return geom, part
+
+    def vertex_ranges(self):
+        ro, po = self.parts.ring_offsets, self.parts.part_offsets
+        return ro[po[self.geometry_offsets[:-1]]], ro[po[self.geometry_offsets[1:]]]
+
+    def bounding_boxes(self, expansion_radius: float = 0.0):
+        """One bbox per GEOMETRY, parts flattened (reference
+        core/spatial/bounding.py:19-80 flattens multipolygon parts)."""
+        s, e = self.vertex_ranges()
+        n = len(self)
+        minx = np.empty(n)
+        miny = np.empty(n)
+        maxx = np.empty(n)
+        maxy = np.empty(n)
+        for i in range(n):
+            minx[i] = self.parts.x[s[i]:e[i]].min()
+            maxx[i] = self.parts.x[s[i]:e[i]].max()
+            miny[i] = self.parts.y[s[i]:e[i]].min()
+            maxy[i] = self.parts.y[s[i]:e[i]].max()
         r = expansion_radius
         return minx - r, miny - r, maxx + r, maxy + r
 

@@ -62,7 +62,15 @@ def pairwise_point_linestring_distance(
     result: str = "distance",
 ) -> DataFrame:
     """Row i: distance from point to linestrings[linestring_idx[i]]
-    (reference core/spatial/distance.py:317-435)."""
+    (reference core/spatial/distance.py:317-435; multilinestrings are
+    expanded to parts and min-reduced, same as the multi* branches
+    there)."""
+    from .pairwise import _expand_multipart, _min_reduce
+
+    original_cols = df.columns
+    df, linestrings, linestring_idx, em = _expand_multipart(
+        df, linestrings, linestring_idx
+    )
     schema = StructType(df.schema.fields + [StructField(result, DoubleType(), False)])
     part_offsets, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
 
@@ -75,7 +83,8 @@ def pairwise_point_linestring_distance(
             pdf[result] = d.astype(np.float64)
             yield pdf
 
-    return df.mapInPandas(compute, schema=schema)
+    out = df.mapInPandas(compute, schema=schema)
+    return _min_reduce(out, original_cols, result) if em else out
 
 
 HAUSDORFF_SCHEMA = StructType(

@@ -52,6 +52,9 @@ def point_in_polygon(
     """Adds one boolean column per polygon (``{prefix}{id}``) to the
     points DataFrame.  Polygons must be single-ring-set (no
     multipolygons) and at most 31, like the reference kernel."""
+    from ..geometry import require_single_part
+
+    require_single_part(polygons, "point_in_polygon")
     if len(polygons) > 31:
         raise ValueError("point_in_polygon supports at most 31 polygons")
     poly_offsets = polygons.part_offsets
@@ -181,6 +184,9 @@ def quadtree_point_in_polygon(
     refine in one mapInPandas pass).  Output (part_id, polygon_index,
     point_index) matches the reference ordering per partition
     (test_spatial_join.py:499-533)."""
+    from ..geometry import require_single_part
+
+    require_single_part(polygons, "quadtree_point_in_polygon")
     if (np.diff(polygons.part_offsets) > 1).any():
         raise ValueError("quadtree_point_in_polygon does not support multipolygons")
     params = dict(x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
@@ -230,6 +236,9 @@ def quadtree_point_to_nearest_linestring(
 ) -> DataFrame:
     """Partition-local nearest-linestring pipeline; output matches
     test_spatial_join.py:593-910 per partition."""
+    from ..geometry import require_single_part
+
+    require_single_part(linestrings, "quadtree_point_to_nearest_linestring")
     params = dict(x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
                   scale=scale, max_depth=max_depth, max_size=max_size)
     minx, miny, maxx, maxy = linestrings.bounding_boxes(expansion_radius)

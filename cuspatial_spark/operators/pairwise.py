@@ -26,7 +26,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..geometry import LinestringArrays, MultipointArrays, PolygonArrays
+from ..geometry import (
+    LinestringArrays,
+    MultiLinestringArrays,
+    MultipointArrays,
+    MultiPolygonArrays,
+    PolygonArrays,
+)
 from ..kernels import geom_distance as gk
 from ..kernels.pip import point_in_polygon_pairs
 
@@ -41,6 +47,37 @@ def _map_batches(df: DataFrame, fn, extra_fields):
             yield fn(pdf)
 
     return df.mapInPandas(run, schema=schema)
+
+
+def _expand_multipart(df: DataFrame, layer, idx_col: str):
+    """Multi-part support for the pairwise distance family: a
+    multi-geometry reference column is exploded to one row per PART via
+    a broadcast join against the (geometry, part) table, the single-
+    part kernel runs unchanged, and the caller min-reduces back to one
+    row per original pair (distance(multi, g) == min over parts —
+    reference core/spatial/distance.py:243-314 accepts multi* through
+    the same geometry_offset flattening).
+
+    Returns (df, part_layer, part_idx_col, expanded)."""
+    if not isinstance(layer, (MultiLinestringArrays, MultiPolygonArrays)):
+        return df, layer, idx_col, False
+    geom, part = layer.part_table()
+    part_col = f"__part_{idx_col}"
+    tbl = df.sparkSession.createDataFrame(
+        pd.DataFrame({idx_col: geom, part_col: part}),
+        schema=f"{idx_col}: long, {part_col}: long",
+    )
+    return df.join(F.broadcast(tbl), on=idx_col, how="inner"), layer.parts, part_col, True
+
+
+def _min_reduce(out: DataFrame, original_cols, result: str) -> DataFrame:
+    """Collapse part-level rows back to one row per original pair."""
+    keep = [c for c in original_cols]
+    return (
+        out.groupBy(*keep)
+        .agg(F.min(result).alias(result))
+        .select(*keep, result)
+    )
 
 
 def pairwise_point_in_polygon(
@@ -67,82 +104,98 @@ def pairwise_point_in_polygon(
 
 def pairwise_linestring_distance(
     df: DataFrame,
-    lhs: LinestringArrays,
-    rhs: LinestringArrays,
+    lhs: LinestringArrays | MultiLinestringArrays,
+    rhs: LinestringArrays | MultiLinestringArrays,
     lhs_idx: str = "lhs_index",
     rhs_idx: str = "rhs_index",
     result: str = "distance",
 ) -> DataFrame:
+    original_cols = df.columns
+    df, lhs, lhs_col, el = _expand_multipart(df, lhs, lhs_idx)
+    df, rhs, rhs_col, er = _expand_multipart(df, rhs, rhs_idx)
     lo, lx, ly = lhs.part_offsets, lhs.x, lhs.y
     ro, rx, ry = rhs.part_offsets, rhs.x, rhs.y
 
     def fn(pdf):
         pdf[result] = gk.pairwise_linestring_distance(
-            pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy(), lo, lx, ly, ro, rx, ry
+            pdf[lhs_col].to_numpy(), pdf[rhs_col].to_numpy(), lo, lx, ly, ro, rx, ry
         )
         return pdf
 
-    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    return _min_reduce(out, original_cols, result) if (el or er) else out
 
 
 def pairwise_point_polygon_distance(
     df: DataFrame,
-    polygons: PolygonArrays,
+    polygons: PolygonArrays | MultiPolygonArrays,
     x: str = "x",
     y: str = "y",
     polygon_idx: str = "polygon_index",
     result: str = "distance",
 ) -> DataFrame:
+    original_cols = df.columns
+    df, polygons, polygon_col, ep = _expand_multipart(df, polygons, polygon_idx)
     po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
 
     def fn(pdf):
         pdf[result] = gk.pairwise_point_polygon_distance(
             pdf[x].to_numpy(), pdf[y].to_numpy(),
-            pdf[polygon_idx].to_numpy(), po, ro, px, py,
+            pdf[polygon_col].to_numpy(), po, ro, px, py,
         )
         return pdf
 
-    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    return _min_reduce(out, original_cols, result) if ep else out
 
 
 def pairwise_linestring_polygon_distance(
     df: DataFrame,
-    linestrings: LinestringArrays,
-    polygons: PolygonArrays,
+    linestrings: LinestringArrays | MultiLinestringArrays,
+    polygons: PolygonArrays | MultiPolygonArrays,
     line_idx: str = "linestring_index",
     polygon_idx: str = "polygon_index",
     result: str = "distance",
 ) -> DataFrame:
+    original_cols = df.columns
+    df, linestrings, line_col, el = _expand_multipart(df, linestrings, line_idx)
+    df, polygons, polygon_col, ep = _expand_multipart(df, polygons, polygon_idx)
     lo, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
     po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
 
     def fn(pdf):
         pdf[result] = gk.pairwise_linestring_polygon_distance(
-            pdf[line_idx].to_numpy(), pdf[polygon_idx].to_numpy(),
+            pdf[line_col].to_numpy(), pdf[polygon_col].to_numpy(),
             lo, lx, ly, po, ro, px, py,
         )
         return pdf
 
-    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    return _min_reduce(out, original_cols, result) if (el or ep) else out
 
 
 def pairwise_polygon_distance(
     df: DataFrame,
-    lhs: PolygonArrays,
-    rhs: PolygonArrays,
+    lhs: PolygonArrays | MultiPolygonArrays,
+    rhs: PolygonArrays | MultiPolygonArrays,
     lhs_idx: str = "lhs_index",
     rhs_idx: str = "rhs_index",
     result: str = "distance",
 ) -> DataFrame:
+    original_cols = df.columns
+    df, lhs, lhs_col, el = _expand_multipart(df, lhs, lhs_idx)
+    df, rhs, rhs_col, er = _expand_multipart(df, rhs, rhs_idx)
+
     def fn(pdf):
         pdf[result] = gk.pairwise_polygon_distance(
-            pdf[lhs_idx].to_numpy(), pdf[rhs_idx].to_numpy(),
+            pdf[lhs_col].to_numpy(), pdf[rhs_col].to_numpy(),
             lhs.part_offsets, lhs.ring_offsets, lhs.x, lhs.y,
             rhs.part_offsets, rhs.ring_offsets, rhs.x, rhs.y,
         )
         return pdf
 
-    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    return _min_reduce(out, original_cols, result) if (el or er) else out
 
 
 def pairwise_multipoint_distance(
@@ -199,42 +252,48 @@ def pairwise_point_multipoint_distance(
 def pairwise_multipoint_linestring_distance(
     df: DataFrame,
     mpoints: MultipointArrays,
-    linestrings: LinestringArrays,
+    linestrings: LinestringArrays | MultiLinestringArrays,
     mp_idx: str = "multipoint_index",
     line_idx: str = "linestring_index",
     result: str = "distance",
 ) -> DataFrame:
+    original_cols = df.columns
+    df, linestrings, line_col, el = _expand_multipart(df, linestrings, line_idx)
     mo, mx, my = mpoints.part_offsets, mpoints.x, mpoints.y
     lo, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
 
     def fn(pdf):
         pdf[result] = gk.pairwise_multipoint_linestring_distance(
-            pdf[mp_idx].to_numpy(), pdf[line_idx].to_numpy(), mo, mx, my, lo, lx, ly
+            pdf[mp_idx].to_numpy(), pdf[line_col].to_numpy(), mo, mx, my, lo, lx, ly
         )
         return pdf
 
-    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    return _min_reduce(out, original_cols, result) if el else out
 
 
 def pairwise_multipoint_polygon_distance(
     df: DataFrame,
     mpoints: MultipointArrays,
-    polygons: PolygonArrays,
+    polygons: PolygonArrays | MultiPolygonArrays,
     mp_idx: str = "multipoint_index",
     polygon_idx: str = "polygon_index",
     result: str = "distance",
 ) -> DataFrame:
+    original_cols = df.columns
+    df, polygons, polygon_col, ep = _expand_multipart(df, polygons, polygon_idx)
     mo, mx, my = mpoints.part_offsets, mpoints.x, mpoints.y
     po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
 
     def fn(pdf):
         pdf[result] = gk.pairwise_multipoint_polygon_distance(
-            pdf[mp_idx].to_numpy(), pdf[polygon_idx].to_numpy(),
+            pdf[mp_idx].to_numpy(), pdf[polygon_col].to_numpy(),
             mo, mx, my, po, ro, px, py,
         )
         return pdf
 
-    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
+    return _min_reduce(out, original_cols, result) if ep else out
 
 
 def pairwise_point_linestring_nearest_points(

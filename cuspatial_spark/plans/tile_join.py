@@ -193,6 +193,9 @@ def point_in_polygon_join(
     plan size is constant since the segments became broadcast DATA
     rather than literal expressions).
     """
+    from ..geometry import require_single_part
+
+    require_single_part(polygons, "point_in_polygon_join")
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
     keep = keep_columns if keep_columns is not None else [c for c in points.columns]
@@ -340,6 +343,9 @@ def point_to_nearest_linestring_join(
     (shuffle + checkpoint each) cost more than they save.  The cover
     density is known driver-side for free from the bbox-tile table.
     """
+    from ..geometry import require_single_part
+
+    require_single_part(linestrings, "point_to_nearest_linestring_join")
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
     keep = keep_columns if keep_columns is not None else [c for c in points.columns]

@@ -9,10 +9,13 @@ geometry) plus a SparkSession, materializes the aligned pairwise
 DataFrame lazily, and dispatches to operators/dispatch.py (distance)
 and operators/binpred_dispatch.py (predicates).
 
-Series are single-kind in v1 (the dominant reference usage; a mixed
-series raises with the offending kinds listed).  Row i of the result
-corresponds to row i of both inputs, like the reference's aligned
-pairwise semantics.
+Mixed-kind series (the reference's GeoColumn union,
+core/_column/geocolumn.py:30-66 + geometa.py:15-59) are supported by
+per-kind sub-dispatch: pairwise ops partition the rows by their
+(lhs_kind, rhs_kind) pair, run each homogeneous group through the
+single-kind dispatcher, and reassemble by the original row ids (the
+row map).  Row i of the result corresponds to row i of both inputs,
+like the reference's aligned pairwise semantics.
 """
 
 from __future__ import annotations
@@ -58,16 +61,16 @@ _PREDICATES = (
 class GeoSeries:
     """Driver-side geometry series with Spark-dispatched pairwise ops."""
 
+    _MIXED = -2
+
     def __init__(self, spark: SparkSession, layers: GeoLayers):
         self.spark = spark
         self.layers = layers
         kinds = {int(k) for k in layers.feature_types if k != NONE}
         if len(kinds) > 1:
-            raise ValueError(
-                "mixed-kind GeoSeries not supported: "
-                f"{sorted(_KIND_NAMES[k] for k in kinds)}"
-            )
-        self._kind_code = kinds.pop() if kinds else NONE
+            self._kind_code = self._MIXED
+        else:
+            self._kind_code = kinds.pop() if kinds else NONE
 
     # ------------------------------------------------------ constructors
 
@@ -86,6 +89,8 @@ class GeoSeries:
 
     @property
     def kind(self) -> str:
+        if self._kind_code == self._MIXED:
+            return "mixed"
         return _KIND_NAMES.get(self._kind_code, "none")
 
     @property
@@ -108,7 +113,7 @@ class GeoSeries:
 
     # ------------------------------------------------- pairwise plumbing
 
-    def _pair_df(self, other: "GeoSeries") -> tuple[DataFrame, dict]:
+    def _pair_df(self, other: "GeoSeries", row_ids=None) -> tuple[DataFrame, dict]:
         """Aligned pairwise DataFrame (row i = lhs i vs rhs i) with the
         column conventions of the dispatchers, plus the kwargs that
         name the index columns for this kind pair."""
@@ -118,7 +123,7 @@ class GeoSeries:
                 "(align the series first)"
             )
         n = len(self)
-        cols: dict = {"row_id": np.arange(n)}
+        cols: dict = {"row_id": np.arange(n) if row_ids is None else np.asarray(row_ids)}
         kw: dict = {}
 
         idx_names = {
@@ -163,27 +168,66 @@ class GeoSeries:
             return self.layers.polygons
         return None
 
+    # --------------------------------------------- mixed-kind sub-dispatch
+
+    def _kind_groups(self, other: "GeoSeries"):
+        """Partition aligned rows by their (lhs_kind, rhs_kind) pair —
+        the per-kind sub-dispatch of the reference's GeoColumn union
+        (geocolumn.py:30-66): each homogeneous group runs through the
+        single-kind dispatcher, results reassemble on row_id."""
+        if len(self) != len(other):
+            raise ValueError(
+                f"length mismatch: {len(self)} vs {len(other)} "
+                "(align the series first)"
+            )
+        lt = np.asarray(self.layers.feature_types)
+        rt = np.asarray(other.layers.feature_types)
+        keys = lt.astype(np.int64) * 16 + rt
+        groups = []
+        for key in np.unique(keys):
+            idx = np.flatnonzero(keys == key)
+            lk, rk = int(key) // 16, int(key) % 16
+            if lk == NONE or rk == NONE:
+                raise ValueError("pairwise op over missing (None) geometry rows")
+            groups.append((idx, self.iloc(idx), other.iloc(idx)))
+        return groups
+
+    def _dispatch_pairwise(self, other: "GeoSeries", run, out_col: str) -> DataFrame:
+        if self._kind_code != self._MIXED and other._kind_code != self._MIXED:
+            df, kw = self._pair_df(other)
+            return run(df, kw, self, other).select("row_id", out_col)
+        parts = []
+        for idx, sub_l, sub_r in self._kind_groups(other):
+            df, kw = sub_l._pair_df(sub_r, row_ids=idx)
+            parts.append(run(df, kw, sub_l, sub_r).select("row_id", out_col))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ------------------------------------------------------ pairwise ops
 
     def distance(self, other: "GeoSeries") -> DataFrame:
         """Row i: distance(self[i], other[i]) — (row_id, distance)."""
         from .operators.dispatch import distance as _distance
 
-        df, kw = self._pair_df(other)
-        out = _distance(
-            df, self.kind, other.kind, self._layer_of(), other._layer_of(), **kw
-        )
-        return out.select("row_id", "distance")
+        def run(df, kw, lhs, rhs):
+            return _distance(
+                df, lhs.kind, rhs.kind, lhs._layer_of(), rhs._layer_of(), **kw
+            )
+
+        return self._dispatch_pairwise(other, run, "distance")
 
     def _predicate(self, name: str, other: "GeoSeries") -> DataFrame:
         from .operators.binpred_dispatch import binpred
 
-        df, kw = self._pair_df(other)
-        out = binpred(
-            df, name, self.kind, other.kind,
-            self._layer_of(), other._layer_of(), result=name, **kw,
-        )
-        return out.select("row_id", name)
+        def run(df, kw, lhs, rhs):
+            return binpred(
+                df, name, lhs.kind, rhs.kind,
+                lhs._layer_of(), rhs._layer_of(), result=name, **kw,
+            )
+
+        return self._dispatch_pairwise(other, run, name)
 
 
 def _install_predicates():

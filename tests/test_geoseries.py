@@ -88,10 +88,59 @@ def test_sizes_iloc_roundtrip(spark):
 
 
 def test_errors(spark):
-    mixed = ["POINT (0 0)", "LINESTRING (0 0, 1 1)"]
-    with pytest.raises(ValueError, match="mixed-kind"):
-        GeoSeries.from_wkt(spark, mixed)
     a = GeoSeries.from_wkt(spark, ["POINT (0 0)"])
     b = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (1 1)"])
     with pytest.raises(ValueError, match="length mismatch"):
         a.distance(b)
+
+
+def test_mixed_kind_series(spark):
+    """Mixed-kind union series (reference GeoColumn union,
+    tests/conftest.py:19-64 shape restricted to the four single-part
+    kinds): per-kind sub-dispatch must agree with running each
+    homogeneous slice separately."""
+    mixed_wkt = [
+        "POINT (-1 0)",
+        "MULTIPOINT ((1 2), (3 4))",
+        "LINESTRING (11 12, 13 14)",
+        "POLYGON ((35 36, 38 36, 41 39, 41 42, 35 36))",
+        "POINT (9 10)",
+        "LINESTRING (31 32, 33 34)",
+    ]
+    rhs_wkt = [
+        "POINT (-1 0)",                                   # equal point
+        "MULTIPOINT ((1 2), (3 4))",                      # equal mp
+        "LINESTRING (11 12, 13 14)",                      # equal ls
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",            # far square
+        "POINT (9 14)",                                   # 4 above
+        "LINESTRING (31 34, 33 36)",                      # parallel offset
+    ]
+    a = GeoSeries.from_wkt(spark, mixed_wkt)
+    b = GeoSeries.from_wkt(spark, rhs_wkt)
+    assert a.kind == "mixed" and b.kind == "mixed"
+    got_d = _vals(a.distance(b).orderBy("row_id"), "distance")
+    got_eq = _vals(a.geom_equals(b).orderBy("row_id"), "geom_equals")
+    got_int = _vals(a.intersects(b).orderBy("row_id"), "intersects")
+    got_dis = _vals(a.disjoint(b).orderBy("row_id"), "disjoint")
+    # oracle: run each homogeneous slice through single-kind series
+    for i, (lw, rw) in enumerate(zip(mixed_wkt, rhs_wkt)):
+        sa = GeoSeries.from_wkt(spark, [lw])
+        sb = GeoSeries.from_wkt(spark, [rw])
+        assert got_d[i] == _vals(sa.distance(sb), "distance")[0], i
+        assert got_eq[i] == _vals(sa.geom_equals(sb), "geom_equals")[0], i
+        assert got_int[i] == _vals(sa.intersects(sb), "intersects")[0], i
+        assert got_dis[i] == _vals(sa.disjoint(sb), "disjoint")[0], i
+    # spot truths
+    assert got_eq == [True, True, True, False, False, False]
+    assert got_d[4] == 4.0
+
+
+def test_mixed_vs_single_kind(spark):
+    """Mixed lhs against a homogeneous rhs: cross-kind cells dispatch
+    per group."""
+    a = GeoSeries.from_wkt(spark, ["POINT (2 0)", "LINESTRING (0 1, 4 1)"])
+    square = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    b = GeoSeries.from_wkt(spark, [square, square])
+    assert _vals(a.within(b).orderBy("row_id"), "within") == [False, True]
+    assert _vals(a.intersects(b).orderBy("row_id"), "intersects") == [True, True]
+    assert _vals(a.distance(b).orderBy("row_id"), "distance") == [0.0, 0.0]

@@ -190,16 +190,37 @@ def polygon_covers_point(
     return polygon_contains_point(df, polygons, **kw)
 
 
+# Hard bound on distinct feature pairs evaluated per Arrow batch: the
+# per-pair closures below run interpreter-side, which is fine under the
+# broadcast-layer contract (small layers, large point batches) but
+# would silently serialize a 100k-feature layer.  Fail loudly instead.
+_MAX_UNIQUE_PAIRS_PER_BATCH = 50_000
+
+
 def _unique_pair_map(pdf, lhs_idx: str, rhs_idx: str, fn) -> np.ndarray:
     """Evaluate a per-(lhs feature, rhs feature) boolean once per
     distinct index pair in the batch and broadcast to rows — feature
-    layers are small (broadcastable), batches are large."""
-    li = pdf[lhs_idx].to_numpy()
-    ri = pdf[rhs_idx].to_numpy()
-    out = np.zeros(len(pdf), dtype=bool)
-    for a, b in {(int(a), int(b)) for a, b in zip(li, ri)}:
-        out[(li == a) & (ri == b)] = fn(a, b)
-    return out
+    layers are small (broadcastable), batches are large.  Rows map to
+    their unique pair via one np.unique inverse (no per-pair scan of
+    the batch)."""
+    li = pdf[lhs_idx].to_numpy(dtype=np.int64)
+    ri = pdf[rhs_idx].to_numpy(dtype=np.int64)
+    pairs, inverse = np.unique(
+        np.stack([li, ri], axis=1), axis=0, return_inverse=True
+    )
+    if len(pairs) > _MAX_UNIQUE_PAIRS_PER_BATCH:
+        raise RuntimeError(
+            f"{len(pairs)} distinct feature pairs in one batch exceeds "
+            f"the broadcast-layer bound ({_MAX_UNIQUE_PAIRS_PER_BATCH}): "
+            "these predicates evaluate per distinct feature pair and "
+            "assume a small broadcast geometry layer; for large layers "
+            "use the distributed tile-join path "
+            "(plans.point_in_polygon_join / tile_join)"
+        )
+    vals = np.fromiter(
+        (fn(int(a), int(b)) for a, b in pairs), dtype=bool, count=len(pairs)
+    )
+    return vals[inverse.ravel()]
 
 
 def point_intersects_point(
@@ -441,9 +462,17 @@ def point_on_linestring(
             ok = d2 == 0.0
             if interior_only:
                 s, e = int(lines.part_offsets[lid]), int(lines.part_offsets[lid + 1])
-                at_start = (xs[m] == lines.x[s]) & (ys[m] == lines.y[s])
-                at_end = (xs[m] == lines.x[e - 1]) & (ys[m] == lines.y[e - 1])
-                ok &= ~(at_start | at_end)
+                closed = (
+                    lines.x[s] == lines.x[e - 1] and lines.y[s] == lines.y[e - 1]
+                )
+                if not closed:
+                    # a CLOSED chain (start == end) has an empty
+                    # topological boundary — no endpoint exclusion
+                    # (round-2 advice: within/contains at the closure
+                    # vertex was wrongly False)
+                    at_start = (xs[m] == lines.x[s]) & (ys[m] == lines.y[s])
+                    at_end = (xs[m] == lines.x[e - 1]) & (ys[m] == lines.y[e - 1])
+                    ok &= ~(at_start | at_end)
             out[m] = ok
         return out
 
@@ -646,10 +675,17 @@ def _ls_poly_touches(lines: LinestringArrays, polys: PolygonArrays, li: int, pi:
     resolution)."""
     s, e = int(lines.part_offsets[li]), int(lines.part_offsets[li + 1])
     a0, a1 = gk._feature_segments(lines.part_offsets, li)
-    # probe vertices AND segment midpoints: a chain whose vertices all
-    # sit on the boundary can still run through the interior
-    vx = np.concatenate([lines.x[s:e], (lines.x[a0] + lines.x[a1]) * 0.5])
-    vy = np.concatenate([lines.y[s:e], (lines.y[a0] + lines.y[a1]) * 0.5])
+    # probe vertices AND segment points at t = 1/4, 1/2, 3/4: a chain
+    # whose vertices all sit on the boundary can still run through the
+    # interior (sampled probes — see _poly_poly_flags caveat)
+    vx = np.concatenate(
+        [lines.x[s:e]]
+        + [lines.x[a0] * (1 - t) + lines.x[a1] * t for t in (0.25, 0.5, 0.75)]
+    )
+    vy = np.concatenate(
+        [lines.y[s:e]]
+        + [lines.y[a0] * (1 - t) + lines.y[a1] * t for t in (0.25, 0.5, 0.75)]
+    )
     r0, r1 = int(polys.part_offsets[pi]), int(polys.part_offsets[pi + 1])
     inside = _pip_one_polygon(vx, vy, polys.ring_offsets[r0:r1 + 1], polys.x, polys.y)
     on_bound = _poly_boundary_dist2(vx, vy, polys, pi) == 0.0
@@ -712,13 +748,23 @@ def _polygon_contains_polygon_pair(lhs: PolygonArrays, rhs: PolygonArrays, a: in
 def _poly_poly_flags(lhs: PolygonArrays, rhs: PolygonArrays, a: int, b: int):
     """(contact, proper, a_strict_in_b, b_strict_in_a) — building
     blocks for touches/overlaps.  Interior probes use vertices AND
-    edge midpoints: midpoints catch interiors that meet where every
-    vertex sits exactly on the other's boundary (collinear-contact
-    overlaps, which have no proper edge crossing)."""
+    edge points at t = 1/4, 1/2, 3/4: off-vertex probes catch
+    interiors that meet where every vertex sits exactly on the other's
+    boundary (collinear-contact overlaps, which have no proper edge
+    crossing).  Still SAMPLED probes: a non-convex boundary pair can
+    in principle dip into the other interior between probes with all
+    four probe points on the boundary — exact semantics would need
+    edge splitting at computed intersection parameters."""
     def strict_in(src, si, dst, di):
         s0, s1 = gk._ring_segments_of_polygon(src.part_offsets, src.ring_offsets, si)
-        xs = np.concatenate([src.x[s0], (src.x[s0] + src.x[s1]) * 0.5])
-        ys = np.concatenate([src.y[s0], (src.y[s0] + src.y[s1]) * 0.5])
+        xs = np.concatenate(
+            [src.x[s0]]
+            + [src.x[s0] * (1 - t) + src.x[s1] * t for t in (0.25, 0.5, 0.75)]
+        )
+        ys = np.concatenate(
+            [src.y[s0]]
+            + [src.y[s0] * (1 - t) + src.y[s1] * t for t in (0.25, 0.5, 0.75)]
+        )
         r0, r1 = int(dst.part_offsets[di]), int(dst.part_offsets[di + 1])
         inside = _pip_one_polygon(xs, ys, dst.ring_offsets[r0:r1 + 1], dst.x, dst.y)
         on_b = _poly_boundary_dist2(xs, ys, dst, di) == 0.0
@@ -910,9 +956,14 @@ def multipoint_on_linestring(
         if mode == "all":
             return bool(on.all())
         ls_, le_ = int(lines.part_offsets[li]), int(lines.part_offsets[li + 1])
-        at_start = (xs == lines.x[ls_]) & (ys == lines.y[ls_])
-        at_end = (xs == lines.x[le_ - 1]) & (ys == lines.y[le_ - 1])
-        interior = on & ~(at_start | at_end)
+        if lines.x[ls_] == lines.x[le_ - 1] and lines.y[ls_] == lines.y[le_ - 1]:
+            # closed chain: empty boundary, every on-chain point is
+            # interior (same closure rule as point_on_linestring)
+            interior = on
+        else:
+            at_start = (xs == lines.x[ls_]) & (ys == lines.y[ls_])
+            at_end = (xs == lines.x[le_ - 1]) & (ys == lines.y[le_ - 1])
+            interior = on & ~(at_start | at_end)
         if mode == "contains":
             return bool(on.all()) and bool(interior.any())
         if mode == "all_interior":

@@ -81,10 +81,16 @@ class TiledTable:
     ) -> int:
         """Write df as the next snapshot; returns the new version.
         The snapshot directory is written FIRST, the manifest LAST
-        (atomic rename) — a failure between the two leaves an orphan
-        data directory that no reader will ever see."""
+        (atomic fail-if-exists link) — a failure between the two leaves
+        an orphan data directory that no reader will ever see.  Safe
+        under concurrent committers: two writers racing on version N+1
+        cannot both publish it — the loser's link raises FileExistsError
+        and it retries with a fresh version number (its data dir name is
+        uuid-suffixed, so no data collision either)."""
         version = self.current_version() + 1
-        snap_dir = os.path.join(self.path, "data", f"snap-{version:05d}")
+        snap_dir = os.path.join(
+            self.path, "data", f"snap-{version:05d}-{uuid.uuid4().hex[:8]}"
+        )
         write_tiled(
             df, snap_dir, x, y, x_min, x_max, y_min, y_max,
             max_depth=max_depth, tile_level=tile_level, cluster=cluster,
@@ -121,11 +127,23 @@ class TiledTable:
             },
             "source": source,
         }
-        tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.rename(tmp, self._manifest_path(version))
-        return version
+        while True:
+            manifest["version"] = version
+            manifest["parent"] = version - 1 if version > 1 else None
+            final = self._manifest_path(version)
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            try:
+                # hard-link is the fail-if-exists publish primitive:
+                # unlike os.rename it cannot silently replace a
+                # manifest another committer just won
+                os.link(tmp, final)
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                os.unlink(tmp)
+                version = self.current_version() + 1
 
     # ---------------------------------------------------------------- read
 

@@ -51,11 +51,22 @@ def write_tiled(
     if cluster == "hilbert":
         from ..functions.expressions import with_hilbert_key
 
+        # clamp BOTH sides: a point below x_min/y_min would otherwise
+        # yield a negative cell index whose Hilbert key is garbage and
+        # gets persisted into the files (morton_key_expr maps
+        # out-of-AOI points to a sentinel; here they clamp to the AOI
+        # edge cell, keeping the key valid and the sort order sane)
         cmax = (1 << max_depth) - 1
         out = out.withColumn(
-            "__hi", F.least(F.floor((F.col(x) - x_min) / scale), F.lit(cmax)).cast("long")
+            "__hi",
+            F.greatest(
+                F.least(F.floor((F.col(x) - x_min) / scale), F.lit(cmax)), F.lit(0)
+            ).cast("long"),
         ).withColumn(
-            "__hj", F.least(F.floor((F.col(y) - y_min) / scale), F.lit(cmax)).cast("long")
+            "__hj",
+            F.greatest(
+                F.least(F.floor((F.col(y) - y_min) / scale), F.lit(cmax)), F.lit(0)
+            ).cast("long"),
         )
         out = with_hilbert_key(out, "__hi", "__hj", max_depth, key_col="hilbert_key")
         out = out.drop("__hi", "__hj")

@@ -165,3 +165,60 @@ class TestEquals:
             [0, 2, 4], [1.0, 0.0, 0.0, 5.0], [1.0, 0.0, 0.0, 5.0],  # rhs0 same set reordered; rhs1 differs
         ).orderBy("id").toPandas()
         assert list(got["geom_equals"]) == [True, False]
+
+
+class TestUniquePairMap:
+    def test_inverse_mapping_and_call_count(self):
+        import pandas as pd
+        from cuspatial_spark.operators.binpreds import _unique_pair_map
+
+        pdf = pd.DataFrame(
+            {"lhs_index": [0, 1, 0, 1, 0], "rhs_index": [0, 0, 1, 0, 0]}
+        )
+        calls = []
+
+        def fn(a, b):
+            calls.append((a, b))
+            return (a + b) % 2 == 0
+
+        out = _unique_pair_map(pdf, "lhs_index", "rhs_index", fn)
+        # one closure call per DISTINCT pair, rows broadcast via inverse
+        assert sorted(calls) == [(0, 0), (0, 1), (1, 0)]
+        assert list(out) == [True, False, False, False, True]
+
+    def test_layer_size_guard(self):
+        import numpy as np
+        import pandas as pd
+        import pytest
+        from cuspatial_spark.operators import binpreds
+
+        n = binpreds._MAX_UNIQUE_PAIRS_PER_BATCH + 1
+        pdf = pd.DataFrame(
+            {"lhs_index": np.arange(n), "rhs_index": np.arange(n)}
+        )
+        with pytest.raises(RuntimeError, match="broadcast-layer bound"):
+            binpreds._unique_pair_map(
+                pdf, "lhs_index", "rhs_index", lambda a, b: True
+            )
+
+
+class TestClosedChainBoundary:
+    def test_within_at_closure_vertex(self, spark):
+        """A closed chain (start == end) has an EMPTY topological
+        boundary, so within(pt, ls) at the closure vertex is True
+        (round-2 advice fix)."""
+        import pandas as pd
+        from cuspatial_spark.geometry import LinestringArrays
+
+        ring = LinestringArrays([0, 5], [0.0, 2.0, 2.0, 0.0, 0.0],
+                                [0.0, 0.0, 2.0, 2.0, 0.0])
+        open_chain = LinestringArrays([0, 2], [0.0, 2.0], [0.0, 0.0])
+        df = spark.createDataFrame(pd.DataFrame(
+            {"id": [0, 1], "x": [0.0, 1.0], "y": [0.0, 0.0],
+             "linestring_index": [0, 0]}))
+        on_ring = bp.point_on_linestring(
+            df, ring, interior_only=True).orderBy("id").toPandas()
+        assert list(on_ring["on"]) == [True, True]
+        on_open = bp.point_on_linestring(
+            df, open_chain, interior_only=True).orderBy("id").toPandas()
+        assert list(on_open["on"]) == [False, True]

@@ -29,6 +29,20 @@ def test_cc_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_cc_long_chain_pointer_doubling(spark):
+    """A 200-vertex path has diameter 199: plain one-hop min
+    propagation would need 199 rounds and silently return SPLIT
+    components at the default max_iter=25; pointer doubling converges
+    in ~log2(199) rounds (round-2 advice fix)."""
+    n = 200
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": np.arange(n - 1), "dst": np.arange(1, n)})
+    )
+    got = connected_components(edges, max_iter=25).collect()
+    assert len(got) == n
+    assert {r.component for r in got} == {0}
+
+
 def test_dedup_clusters_star(spark):
     """Canonical-mode LSH emits star pairs; clusters resolve to the
     min doc id in 2 rounds."""

@@ -517,6 +517,29 @@ class TestTiledTable:
         assert t.current_version() == 1
         assert t.read(spark).count() == 2
 
+    def test_concurrent_commit_never_overwrites(self, spark, tmp_path):
+        """Two committers racing on the same version: the loser must
+        NOT replace the winner's manifest (fail-if-exists publish) —
+        it retries with the next version instead."""
+        import json
+        import os
+        from cuspatial_spark.sources.table import TiledTable
+
+        t = TiledTable(str(tmp_path / "table3"))
+        df = spark.createDataFrame(pd.DataFrame({
+            "point_id": [0, 1], "x": [1.0, 2.0], "y": [1.0, 2.0]}))
+        t.commit(df, "x", "y", 0, 8, 0, 8)
+        # simulate a concurrent winner publishing v2 mid-commit: the
+        # manifest for version 2 appears before our commit publishes
+        winner = dict(json.load(open(t._manifest_path(1))))
+        winner["version"] = 2
+        with open(t._manifest_path(2), "w") as f:
+            json.dump(winner, f)
+        got = t.commit(df, "x", "y", 0, 8, 0, 8)
+        assert got == 3  # retried past the conflict
+        assert json.load(open(t._manifest_path(2)))["snapshot_dir"] == winner["snapshot_dir"]
+        assert t.current_version() == 3
+
 
 class TestIngestPipeline:
     def test_streaming_ingest_matches_batch(self, spark, tmp_path):

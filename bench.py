@@ -41,6 +41,9 @@ HEADLINE = [
     # byte-identity invariant) and raster->vector rectangle decomposition
     "extract_text",
     "vectorize",
+    # round 3: multi-part pairwise distances (part-expansion broadcast
+    # join + min reduce)
+    "multipart_distance",
 ]
 
 

@@ -24,6 +24,24 @@ from .pip import _pip_one_polygon
 from .segment import point_segment_distance_squared
 
 
+def _unique_pair_eval(lhs_idx, rhs_idx, fn) -> np.ndarray:
+    """Evaluate a per-feature-pair scalar once per DISTINCT index pair
+    and broadcast to rows.  Batches reference a small broadcast layer,
+    so rows repeat the same few pairs (e.g. ``event_id % n_features``)
+    — without this the per-pair Python cost multiplies by the batch
+    size instead of the layer size (the round-2 'per-segment-pair
+    Python' trap, measured 1000x on the point-polygon kernel)."""
+    li = np.asarray(lhs_idx, dtype=np.int64)
+    ri = np.asarray(rhs_idx, dtype=np.int64)
+    pairs, inverse = np.unique(
+        np.stack([li, ri], axis=1), axis=0, return_inverse=True
+    )
+    vals = np.fromiter(
+        (fn(int(a), int(b)) for a, b in pairs), dtype=np.float64, count=len(pairs)
+    )
+    return vals[inverse.ravel()]
+
+
 def _feature_segments(offsets: np.ndarray, idx: int):
     """(v0, v1) vertex index arrays for feature idx's segments."""
     s, e = int(offsets[idx]), int(offsets[idx + 1])
@@ -95,14 +113,17 @@ def pairwise_linestring_distance(
     ly = np.asarray(ly, dtype=np.float64)
     rx = np.asarray(rx, dtype=np.float64)
     ry = np.asarray(ry, dtype=np.float64)
-    out = np.empty(len(lhs_idx), dtype=np.float64)
-    for i, (li, ri) in enumerate(zip(lhs_idx, rhs_idx)):
-        a0, a1 = _feature_segments(np.asarray(l_offsets), int(li))
-        b0, b1 = _feature_segments(np.asarray(r_offsets), int(ri))
-        out[i] = _min_dist_segments_to_segments(
+    l_offsets = np.asarray(l_offsets)
+    r_offsets = np.asarray(r_offsets)
+
+    def one(li, ri):
+        a0, a1 = _feature_segments(l_offsets, li)
+        b0, b1 = _feature_segments(r_offsets, ri)
+        return _min_dist_segments_to_segments(
             lx[a0], ly[a0], lx[a1], ly[a1], rx[b0], ry[b0], rx[b1], ry[b1]
         )
-    return out
+
+    return _unique_pair_eval(lhs_idx, rhs_idx, one)
 
 
 def pairwise_point_polygon_distance(
@@ -116,20 +137,22 @@ def pairwise_point_polygon_distance(
     py = np.asarray(py, dtype=np.float64)
     poly_offsets = np.asarray(poly_offsets, dtype=np.int64)
     ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    pidx = np.asarray(poly_idx, dtype=np.int64)
     out = np.empty(len(px_pts), dtype=np.float64)
-    for i, p in enumerate(np.asarray(poly_idx, dtype=np.int64)):
+    # group rows by polygon: one vectorized (points x ring-segments)
+    # evaluation per DISTINCT polygon, never per row
+    for p in np.unique(pidx):
+        m = pidx == p
         r0, r1 = poly_offsets[p], poly_offsets[p + 1]
         inside = _pip_one_polygon(
-            px_pts[i:i + 1], py_pts[i:i + 1], ring_offsets[r0:r1 + 1], px, py
-        )[0]
-        if inside:
-            out[i] = 0.0
-            continue
-        v0, v1 = _ring_segments_of_polygon(poly_offsets, ring_offsets, int(p))
-        d = point_segment_distance_squared(
-            px_pts[i], py_pts[i], px[v0], py[v0], px[v1], py[v1]
+            px_pts[m], py_pts[m], ring_offsets[r0:r1 + 1], px, py
         )
-        out[i] = np.sqrt(d.min())
+        v0, v1 = _ring_segments_of_polygon(poly_offsets, ring_offsets, int(p))
+        d2 = point_segment_distance_squared(
+            px_pts[m][:, None], py_pts[m][:, None],
+            px[v0][None, :], py[v0][None, :], px[v1][None, :], py[v1][None, :],
+        ).min(axis=1)
+        out[m] = np.where(inside, 0.0, np.sqrt(d2))
     return out
 
 
@@ -145,20 +168,19 @@ def pairwise_linestring_polygon_distance(
     poly_offsets = np.asarray(poly_offsets, dtype=np.int64)
     ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
     l_offsets = np.asarray(l_offsets, dtype=np.int64)
-    out = np.empty(len(line_idx), dtype=np.float64)
-    for i, (li, p) in enumerate(zip(line_idx, poly_idx)):
-        a0, a1 = _feature_segments(l_offsets, int(li))
+    def one(li, p):
+        a0, a1 = _feature_segments(l_offsets, li)
         # linestring start point inside polygon -> contained or crossing
         s = int(l_offsets[li])
         r0, r1 = poly_offsets[p], poly_offsets[p + 1]
         if _pip_one_polygon(lx[s:s + 1], ly[s:s + 1], ring_offsets[r0:r1 + 1], px, py)[0]:
-            out[i] = 0.0
-            continue
-        v0, v1 = _ring_segments_of_polygon(poly_offsets, ring_offsets, int(p))
-        out[i] = _min_dist_segments_to_segments(
+            return 0.0
+        v0, v1 = _ring_segments_of_polygon(poly_offsets, ring_offsets, p)
+        return _min_dist_segments_to_segments(
             lx[a0], ly[a0], lx[a1], ly[a1], px[v0], py[v0], px[v1], py[v1]
         )
-    return out
+
+    return _unique_pair_eval(line_idx, poly_idx, one)
 
 
 def pairwise_polygon_distance(
@@ -175,8 +197,7 @@ def pairwise_polygon_distance(
     l_ring_offsets = np.asarray(l_ring_offsets, dtype=np.int64)
     r_poly_offsets = np.asarray(r_poly_offsets, dtype=np.int64)
     r_ring_offsets = np.asarray(r_ring_offsets, dtype=np.int64)
-    out = np.empty(len(lhs_idx), dtype=np.float64)
-    for i, (lp, rp) in enumerate(zip(lhs_idx, rhs_idx)):
+    def one(lp, rp):
         # containment either way (test one vertex of each in the other)
         lv = int(l_ring_offsets[l_poly_offsets[lp]])
         rv = int(r_ring_offsets[r_poly_offsets[rp]])
@@ -187,14 +208,14 @@ def pairwise_polygon_distance(
         )[0] or _pip_one_polygon(
             rpx[rv:rv + 1], rpy[rv:rv + 1], l_ring_offsets[lr0:lr1 + 1], lpx, lpy
         )[0]:
-            out[i] = 0.0
-            continue
-        a0, a1 = _ring_segments_of_polygon(l_poly_offsets, l_ring_offsets, int(lp))
-        b0, b1 = _ring_segments_of_polygon(r_poly_offsets, r_ring_offsets, int(rp))
-        out[i] = _min_dist_segments_to_segments(
+            return 0.0
+        a0, a1 = _ring_segments_of_polygon(l_poly_offsets, l_ring_offsets, lp)
+        b0, b1 = _ring_segments_of_polygon(r_poly_offsets, r_ring_offsets, rp)
+        return _min_dist_segments_to_segments(
             lpx[a0], lpy[a0], lpx[a1], lpy[a1], rpx[b0], rpy[b0], rpx[b1], rpy[b1]
         )
-    return out
+
+    return _unique_pair_eval(lhs_idx, rhs_idx, one)
 
 
 def pairwise_point_linestring_nearest_points(
@@ -213,21 +234,28 @@ def pairwise_point_linestring_nearest_points(
     seg_out = np.zeros(n, dtype=np.int64)
     nx_out = np.empty(n, dtype=np.float64)
     ny_out = np.empty(n, dtype=np.float64)
-    for i, li in enumerate(np.asarray(line_idx, dtype=np.int64)):
+    lidx = np.asarray(line_idx, dtype=np.int64)
+    # group rows by linestring: one vectorized (points x segments)
+    # evaluation per DISTINCT feature, never per row
+    for li in np.unique(lidx):
+        m = lidx == li
         v0, v1 = _feature_segments(part_offsets, int(li))
         ax, ay, bx, by = lx[v0], ly[v0], lx[v1], ly[v1]
         abx, aby = bx - ax, by - ay
         l2 = abx * abx + aby * aby
         safe = np.where(l2 == 0, 1.0, l2)
-        t = np.clip(((cx[i] - ax) * abx + (cy[i] - ay) * aby) / safe, 0.0, 1.0)
+        C_x = cx[m][:, None]
+        C_y = cy[m][:, None]
+        t = np.clip(((C_x - ax) * abx + (C_y - ay) * aby) / safe, 0.0, 1.0)
         t = np.where(l2 == 0, 0.0, t)
         qx = ax + t * abx
         qy = ay + t * aby
-        d2 = (cx[i] - qx) ** 2 + (cy[i] - qy) ** 2
-        j = int(np.argmin(d2))
-        seg_out[i] = j
-        nx_out[i] = qx[j]
-        ny_out[i] = qy[j]
+        d2 = (C_x - qx) ** 2 + (C_y - qy) ** 2
+        j = np.argmin(d2, axis=1)
+        rows = np.arange(j.shape[0])
+        seg_out[m] = j
+        nx_out[m] = qx[rows, j]
+        ny_out[m] = qy[rows, j]
     return seg_out, nx_out, ny_out
 
 
@@ -244,15 +272,15 @@ def pairwise_multipoint_distance(
     ly = np.asarray(ly, dtype=np.float64)
     rx = np.asarray(rx, dtype=np.float64)
     ry = np.asarray(ry, dtype=np.float64)
-    out = np.empty(len(lhs_idx), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(lhs_idx, rhs_idx)):
+    def one(a, b):
         ls, le = l_offsets[a], l_offsets[a + 1]
         rs, re = r_offsets[b], r_offsets[b + 1]
         d2 = (lx[ls:le, None] - rx[None, rs:re]) ** 2 + (
             ly[ls:le, None] - ry[None, rs:re]
         ) ** 2
-        out[i] = np.sqrt(d2.min()) if d2.size else np.nan
-    return out
+        return np.sqrt(d2.min()) if d2.size else np.nan
+
+    return _unique_pair_eval(lhs_idx, rhs_idx, one)
 
 
 def pairwise_multipoint_linestring_distance(
@@ -267,16 +295,16 @@ def pairwise_multipoint_linestring_distance(
     my = np.asarray(my, dtype=np.float64)
     lx = np.asarray(lx, dtype=np.float64)
     ly = np.asarray(ly, dtype=np.float64)
-    out = np.empty(len(mp_idx), dtype=np.float64)
-    for i, (m, li) in enumerate(zip(mp_idx, line_idx)):
+    def one(m, li):
         ms, me = m_offsets[m], m_offsets[m + 1]
-        v0, v1 = _feature_segments(l_offsets, int(li))
+        v0, v1 = _feature_segments(l_offsets, li)
         d2 = point_segment_distance_squared(
             mx[ms:me, None], my[ms:me, None],
             lx[v0][None, :], ly[v0][None, :], lx[v1][None, :], ly[v1][None, :],
         )
-        out[i] = np.sqrt(d2.min()) if d2.size else np.nan
-    return out
+        return np.sqrt(d2.min()) if d2.size else np.nan
+
+    return _unique_pair_eval(mp_idx, line_idx, one)
 
 
 def pairwise_multipoint_polygon_distance(
@@ -292,23 +320,22 @@ def pairwise_multipoint_polygon_distance(
     my = np.asarray(my, dtype=np.float64)
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    out = np.empty(len(mp_idx), dtype=np.float64)
-    for i, (m, p) in enumerate(zip(mp_idx, poly_idx)):
+    def one(m, p):
         ms, me = m_offsets[m], m_offsets[m + 1]
         r0, r1 = poly_offsets[p], poly_offsets[p + 1]
         inside = _pip_one_polygon(
             mx[ms:me], my[ms:me], ring_offsets[r0:r1 + 1], px, py
         )
         if inside.any():
-            out[i] = 0.0
-            continue
-        v0, v1 = _ring_segments_of_polygon(poly_offsets, ring_offsets, int(p))
+            return 0.0
+        v0, v1 = _ring_segments_of_polygon(poly_offsets, ring_offsets, p)
         d2 = point_segment_distance_squared(
             mx[ms:me, None], my[ms:me, None],
             px[v0][None, :], py[v0][None, :], px[v1][None, :], py[v1][None, :],
         )
-        out[i] = np.sqrt(d2.min()) if d2.size else np.nan
-    return out
+        return np.sqrt(d2.min()) if d2.size else np.nan
+
+    return _unique_pair_eval(mp_idx, poly_idx, one)
 
 
 def pairwise_multipoint_equals_count(

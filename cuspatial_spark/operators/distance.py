@@ -63,28 +63,33 @@ def pairwise_point_linestring_distance(
 ) -> DataFrame:
     """Row i: distance from point to linestrings[linestring_idx[i]]
     (reference core/spatial/distance.py:317-435; multilinestrings are
-    expanded to parts and min-reduced, same as the multi* branches
-    there)."""
-    from .pairwise import _expand_multipart, _min_reduce
+    expanded to parts and min-reduced inside the batch, same as the
+    multi* branches there)."""
+    from .pairwise import _min_by_row, _part_pairs, _split_parts
 
-    original_cols = df.columns
-    df, linestrings, linestring_idx, em = _expand_multipart(
-        df, linestrings, linestring_idx
-    )
+    linestrings, go = _split_parts(linestrings)
     schema = StructType(df.schema.fields + [StructField(result, DoubleType(), False)])
     part_offsets, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            d = point_linestring_distance_pairs(
-                pdf[x].to_numpy(), pdf[y].to_numpy(),
-                pdf[linestring_idx].to_numpy(), part_offsets, lx, ly,
-            )
-            pdf[result] = d.astype(np.float64)
+            xs = pdf[x].to_numpy()
+            ys = pdf[y].to_numpy()
+            gi = pdf[linestring_idx].to_numpy(dtype=np.int64)
+            if go is None:
+                d = point_linestring_distance_pairs(
+                    xs, ys, gi, part_offsets, lx, ly
+                ).astype(np.float64)
+            else:
+                row, _, rp = _part_pairs(gi, gi, None, go)
+                dp = point_linestring_distance_pairs(
+                    xs[row], ys[row], rp, part_offsets, lx, ly
+                )
+                d = _min_by_row(len(pdf), row, dp)
+            pdf[result] = d
             yield pdf
 
-    out = df.mapInPandas(compute, schema=schema)
-    return _min_reduce(out, original_cols, result) if em else out
+    return df.mapInPandas(compute, schema=schema)
 
 
 HAUSDORFF_SCHEMA = StructType(

@@ -49,35 +49,56 @@ def _map_batches(df: DataFrame, fn, extra_fields):
     return df.mapInPandas(run, schema=schema)
 
 
-def _expand_multipart(df: DataFrame, layer, idx_col: str):
-    """Multi-part support for the pairwise distance family: a
-    multi-geometry reference column is exploded to one row per PART via
-    a broadcast join against the (geometry, part) table, the single-
-    part kernel runs unchanged, and the caller min-reduces back to one
-    row per original pair (distance(multi, g) == min over parts —
-    reference core/spatial/distance.py:243-314 accepts multi* through
-    the same geometry_offset flattening).
-
-    Returns (df, part_layer, part_idx_col, expanded)."""
-    if not isinstance(layer, (MultiLinestringArrays, MultiPolygonArrays)):
-        return df, layer, idx_col, False
-    geom, part = layer.part_table()
-    part_col = f"__part_{idx_col}"
-    tbl = df.sparkSession.createDataFrame(
-        pd.DataFrame({idx_col: geom, part_col: part}),
-        schema=f"{idx_col}: long, {part_col}: long",
-    )
-    return df.join(F.broadcast(tbl), on=idx_col, how="inner"), layer.parts, part_col, True
+def _split_parts(layer):
+    """(single-part layer, geometry_offsets-or-None) for a possibly
+    multi-part layer."""
+    if isinstance(layer, (MultiLinestringArrays, MultiPolygonArrays)):
+        return layer.parts, np.asarray(layer.geometry_offsets, dtype=np.int64)
+    return layer, None
 
 
-def _min_reduce(out: DataFrame, original_cols, result: str) -> DataFrame:
-    """Collapse part-level rows back to one row per original pair."""
-    keep = [c for c in original_cols]
-    return (
-        out.groupBy(*keep)
-        .agg(F.min(result).alias(result))
-        .select(*keep, result)
-    )
+def _part_pairs(li, ri, go_l, go_r):
+    """Multi-part support for the pairwise distance family, entirely
+    INSIDE the Arrow batch: expand each geometry-index row to its
+    (lhs part, rhs part) index pairs with offset-flattened NumPy (no
+    Spark join, no extra shuffle), run the single-part kernel on the
+    part pairs, and min-reduce back per row — distance(multi, g) ==
+    min over parts (reference core/spatial/distance.py:243-314).
+
+    Returns (row, lp, rp) flat arrays; go_* None means that side's
+    geometries ARE its parts."""
+    n = len(li)
+    cl = (go_l[li + 1] - go_l[li]) if go_l is not None else np.ones(n, dtype=np.int64)
+    cr = (go_r[ri + 1] - go_r[ri]) if go_r is not None else np.ones(n, dtype=np.int64)
+    counts = cl * cr
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    local = np.arange(int(cum[-1]), dtype=np.int64) - cum[row]
+    crr = cr[row]
+    lloc = local // crr
+    rloc = local - lloc * crr
+    lp = (go_l[li][row] + lloc) if go_l is not None else li[row]
+    rp = (go_r[ri][row] + rloc) if go_r is not None else ri[row]
+    return row, lp, rp
+
+
+def _min_by_row(n, row, d):
+    out = np.full(n, np.inf)
+    np.minimum.at(out, row, np.asarray(d, dtype=np.float64))
+    return out
+
+
+def _pair_distance_fn(kernel, go_l, go_r):
+    """Batch closure: single-part layers call the kernel directly;
+    multi-part sides expand to part pairs and min-reduce per row."""
+    if go_l is None and go_r is None:
+        return lambda li, ri: kernel(li, ri)
+
+    def fn(li, ri):
+        row, lp, rp = _part_pairs(li, ri, go_l, go_r)
+        return _min_by_row(len(li), row, kernel(lp, rp))
+
+    return fn
 
 
 def pairwise_point_in_polygon(
@@ -110,20 +131,22 @@ def pairwise_linestring_distance(
     rhs_idx: str = "rhs_index",
     result: str = "distance",
 ) -> DataFrame:
-    original_cols = df.columns
-    df, lhs, lhs_col, el = _expand_multipart(df, lhs, lhs_idx)
-    df, rhs, rhs_col, er = _expand_multipart(df, rhs, rhs_idx)
+    lhs, go_l = _split_parts(lhs)
+    rhs, go_r = _split_parts(rhs)
     lo, lx, ly = lhs.part_offsets, lhs.x, lhs.y
     ro, rx, ry = rhs.part_offsets, rhs.x, rhs.y
+    pair_d = _pair_distance_fn(
+        lambda a, b: gk.pairwise_linestring_distance(a, b, lo, lx, ly, ro, rx, ry),
+        go_l, go_r,
+    )
 
     def fn(pdf):
-        pdf[result] = gk.pairwise_linestring_distance(
-            pdf[lhs_col].to_numpy(), pdf[rhs_col].to_numpy(), lo, lx, ly, ro, rx, ry
+        pdf[result] = pair_d(
+            pdf[lhs_idx].to_numpy(dtype=np.int64), pdf[rhs_idx].to_numpy(dtype=np.int64)
         )
         return pdf
 
-    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
-    return _min_reduce(out, original_cols, result) if (el or er) else out
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
 
 
 def pairwise_point_polygon_distance(
@@ -134,19 +157,22 @@ def pairwise_point_polygon_distance(
     polygon_idx: str = "polygon_index",
     result: str = "distance",
 ) -> DataFrame:
-    original_cols = df.columns
-    df, polygons, polygon_col, ep = _expand_multipart(df, polygons, polygon_idx)
+    polygons, go = _split_parts(polygons)
     po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
 
     def fn(pdf):
-        pdf[result] = gk.pairwise_point_polygon_distance(
-            pdf[x].to_numpy(), pdf[y].to_numpy(),
-            pdf[polygon_col].to_numpy(), po, ro, px, py,
-        )
+        xs = pdf[x].to_numpy()
+        ys = pdf[y].to_numpy()
+        gi = pdf[polygon_idx].to_numpy(dtype=np.int64)
+        if go is None:
+            pdf[result] = gk.pairwise_point_polygon_distance(xs, ys, gi, po, ro, px, py)
+        else:
+            row, _, rp = _part_pairs(gi, gi, None, go)
+            d = gk.pairwise_point_polygon_distance(xs[row], ys[row], rp, po, ro, px, py)
+            pdf[result] = _min_by_row(len(pdf), row, d)
         return pdf
 
-    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
-    return _min_reduce(out, original_cols, result) if ep else out
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
 
 
 def pairwise_linestring_polygon_distance(
@@ -157,21 +183,25 @@ def pairwise_linestring_polygon_distance(
     polygon_idx: str = "polygon_index",
     result: str = "distance",
 ) -> DataFrame:
-    original_cols = df.columns
-    df, linestrings, line_col, el = _expand_multipart(df, linestrings, line_idx)
-    df, polygons, polygon_col, ep = _expand_multipart(df, polygons, polygon_idx)
+    linestrings, go_l = _split_parts(linestrings)
+    polygons, go_p = _split_parts(polygons)
     lo, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
     po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
+    pair_d = _pair_distance_fn(
+        lambda a, b: gk.pairwise_linestring_polygon_distance(
+            a, b, lo, lx, ly, po, ro, px, py
+        ),
+        go_l, go_p,
+    )
 
     def fn(pdf):
-        pdf[result] = gk.pairwise_linestring_polygon_distance(
-            pdf[line_col].to_numpy(), pdf[polygon_col].to_numpy(),
-            lo, lx, ly, po, ro, px, py,
+        pdf[result] = pair_d(
+            pdf[line_idx].to_numpy(dtype=np.int64),
+            pdf[polygon_idx].to_numpy(dtype=np.int64),
         )
         return pdf
 
-    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
-    return _min_reduce(out, original_cols, result) if (el or ep) else out
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
 
 
 def pairwise_polygon_distance(
@@ -182,20 +212,24 @@ def pairwise_polygon_distance(
     rhs_idx: str = "rhs_index",
     result: str = "distance",
 ) -> DataFrame:
-    original_cols = df.columns
-    df, lhs, lhs_col, el = _expand_multipart(df, lhs, lhs_idx)
-    df, rhs, rhs_col, er = _expand_multipart(df, rhs, rhs_idx)
-
-    def fn(pdf):
-        pdf[result] = gk.pairwise_polygon_distance(
-            pdf[lhs_col].to_numpy(), pdf[rhs_col].to_numpy(),
+    lhs, go_l = _split_parts(lhs)
+    rhs, go_r = _split_parts(rhs)
+    pair_d = _pair_distance_fn(
+        lambda a, b: gk.pairwise_polygon_distance(
+            a, b,
             lhs.part_offsets, lhs.ring_offsets, lhs.x, lhs.y,
             rhs.part_offsets, rhs.ring_offsets, rhs.x, rhs.y,
+        ),
+        go_l, go_r,
+    )
+
+    def fn(pdf):
+        pdf[result] = pair_d(
+            pdf[lhs_idx].to_numpy(dtype=np.int64), pdf[rhs_idx].to_numpy(dtype=np.int64)
         )
         return pdf
 
-    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
-    return _min_reduce(out, original_cols, result) if (el or er) else out
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
 
 
 def pairwise_multipoint_distance(
@@ -257,19 +291,24 @@ def pairwise_multipoint_linestring_distance(
     line_idx: str = "linestring_index",
     result: str = "distance",
 ) -> DataFrame:
-    original_cols = df.columns
-    df, linestrings, line_col, el = _expand_multipart(df, linestrings, line_idx)
+    linestrings, go = _split_parts(linestrings)
     mo, mx, my = mpoints.part_offsets, mpoints.x, mpoints.y
     lo, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
+    pair_d = _pair_distance_fn(
+        lambda a, b: gk.pairwise_multipoint_linestring_distance(
+            a, b, mo, mx, my, lo, lx, ly
+        ),
+        None, go,
+    )
 
     def fn(pdf):
-        pdf[result] = gk.pairwise_multipoint_linestring_distance(
-            pdf[mp_idx].to_numpy(), pdf[line_col].to_numpy(), mo, mx, my, lo, lx, ly
+        pdf[result] = pair_d(
+            pdf[mp_idx].to_numpy(dtype=np.int64),
+            pdf[line_idx].to_numpy(dtype=np.int64),
         )
         return pdf
 
-    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
-    return _min_reduce(out, original_cols, result) if el else out
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
 
 
 def pairwise_multipoint_polygon_distance(
@@ -280,20 +319,24 @@ def pairwise_multipoint_polygon_distance(
     polygon_idx: str = "polygon_index",
     result: str = "distance",
 ) -> DataFrame:
-    original_cols = df.columns
-    df, polygons, polygon_col, ep = _expand_multipart(df, polygons, polygon_idx)
+    polygons, go = _split_parts(polygons)
     mo, mx, my = mpoints.part_offsets, mpoints.x, mpoints.y
     po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
+    pair_d = _pair_distance_fn(
+        lambda a, b: gk.pairwise_multipoint_polygon_distance(
+            a, b, mo, mx, my, po, ro, px, py
+        ),
+        None, go,
+    )
 
     def fn(pdf):
-        pdf[result] = gk.pairwise_multipoint_polygon_distance(
-            pdf[mp_idx].to_numpy(), pdf[polygon_col].to_numpy(),
-            mo, mx, my, po, ro, px, py,
+        pdf[result] = pair_d(
+            pdf[mp_idx].to_numpy(dtype=np.int64),
+            pdf[polygon_idx].to_numpy(dtype=np.int64),
         )
         return pdf
 
-    out = _map_batches(df, fn, [StructField(result, DoubleType(), True)])
-    return _min_reduce(out, original_cols, result) if ep else out
+    return _map_batches(df, fn, [StructField(result, DoubleType(), True)])
 
 
 def pairwise_point_linestring_nearest_points(

@@ -174,9 +174,17 @@ def point_in_polygon_join(
     tile_level: int = 8,
     keep_columns: list[str] | None = None,
     refine: str = "auto",
+    edge_exact: bool = False,
 ) -> DataFrame:
     """Distributed containment join: returns the selected point columns
     plus ``polygon_id`` for every (point, polygon) containment pair.
+
+    edge_exact=True forces the Arrow kernel refine, which keeps the
+    reference's ULP on-edge exclusion exactly (a point ON a polygon
+    edge is deterministically excluded); the JVM fast path gives such
+    points parity-dependent membership instead.  Golden-parity claims
+    must set this (or refine='kernel') so results never silently
+    depend on the plan choice.
 
     The polygon layer is broadcast (the common web-scale shape: points
     >> polygons).  Equivalent to the reference pipeline
@@ -199,7 +207,9 @@ def point_in_polygon_join(
     if scale is None:
         scale = max(x_max - x_min, y_max - y_min) / ((1 << max_depth) + 2)
     keep = keep_columns if keep_columns is not None else [c for c in points.columns]
-    if refine == "auto":
+    if edge_exact:
+        refine = "kernel"
+    elif refine == "auto":
         refine = "jvm" if len(polygons.x) <= 200_000 else "kernel"
 
     spark = points.sparkSession

@@ -313,6 +313,26 @@ class TestDistributedTileJoin:
         assert len(got) == 71
         np.testing.assert_allclose(got["distance"], golden["distance"], rtol=1e-9)
 
+    def test_edge_exact_forces_kernel_semantics(self, spark):
+        """edge_exact=True pins the Arrow-kernel refine: a point lying
+        exactly ON a polygon edge is deterministically excluded (the
+        reference's ULP on-edge semantics), regardless of the
+        layer-size-based jvm/kernel auto choice."""
+        square = PolygonArrays([0, 1], [0, 5],
+                               [0.0, 4.0, 4.0, 0.0, 0.0],
+                               [0.0, 0.0, 4.0, 4.0, 0.0])
+        pdf = pd.DataFrame({
+            "point_id": [0, 1, 2],
+            "x": [0.0, 2.0, 9.0],   # on left edge / inside / outside
+            "y": [2.0, 2.0, 9.0],
+        })
+        pts = spark.createDataFrame(pdf)
+        got = point_in_polygon_join(
+            pts, square, x_min=0, x_max=10, y_min=0, y_max=10,
+            max_depth=8, tile_level=2, edge_exact=True,
+        ).toPandas()
+        assert set(got["point_id"]) == {1}
+
     @pytest.mark.parametrize("refine", ["jvm", "kernel"])
     def test_nearest_join_progressive_equals_single_shot(self, spark, refine):
         # Dense layer (64 linestrings over a 8x8 AOI) with an AOI-sized

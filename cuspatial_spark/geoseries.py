@@ -158,14 +158,28 @@ class GeoSeries:
         side(other, False, self._kind_code)
         return self.spark.createDataFrame(pd.DataFrame(cols)), kw
 
-    def _layer_of(self):
+    def _layer_of(self, for_predicate: bool = False):
+        """Geometry-level layer container.  Multi-part rows: the
+        distance family accepts Multi* containers directly (min over
+        parts); predicates use the flattened even-odd polygon view for
+        multipolygons and are not yet defined over multilinestrings."""
+        from .geometry import MultiLinestringArrays
+
         k = self._kind_code
         if k == MULTIPOINT:
             return self.layers.multipoints
         if k == LINESTRING:
-            return self.layers.linestrings
+            layer = self.layers.linestring_layer()
+            if for_predicate and isinstance(layer, MultiLinestringArrays):
+                raise NotImplementedError(
+                    "binary predicates over MULTILINESTRING rows are not "
+                    "supported (distance is)"
+                )
+            return layer
         if k == POLYGON:
-            return self.layers.polygons
+            if for_predicate:
+                return self.layers.polygon_flat_layer()
+            return self.layers.polygon_layer()
         return None
 
     # --------------------------------------------- mixed-kind sub-dispatch
@@ -224,7 +238,9 @@ class GeoSeries:
         def run(df, kw, lhs, rhs):
             return binpred(
                 df, name, lhs.kind, rhs.kind,
-                lhs._layer_of(), rhs._layer_of(), result=name, **kw,
+                lhs._layer_of(for_predicate=True),
+                rhs._layer_of(for_predicate=True),
+                result=name, **kw,
             )
 
         return self._dispatch_pairwise(other, run, name)

@@ -52,9 +52,39 @@ def _parse_ring(body: str):
     return [tuple(float(v) for v in pt.split()) for pt in body.split(",")]
 
 
+def _split_top(body: str):
+    """Split a WKT body on top-level commas (depth-0 w.r.t. parens)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def _strip_parens(t: str) -> str:
+    t = t.strip()
+    assert t.startswith("(") and t.endswith(")"), t
+    return t[1:-1]
+
+
+def _parse_polygon_body(body: str) -> "_Geom":
+    rings = [_Geom("LinearRing", coords=_parse_ring(_strip_parens(r)))
+             for r in _split_top(body)]
+    return _Geom("Polygon", exterior=rings[0], interiors=rings[1:])
+
+
 def from_wkt(wkts):
-    """Parse POINT / MULTIPOINT / LINESTRING / POLYGON WKT strings into
-    protocol-compatible geometry objects (None/'' -> missing row)."""
+    """Parse POINT / MULTIPOINT / LINESTRING / MULTILINESTRING /
+    POLYGON / MULTIPOLYGON WKT strings into protocol-compatible
+    geometry objects (None/'' -> missing row)."""
     out = []
     for w in wkts:
         if w is None or not str(w).strip():
@@ -76,11 +106,19 @@ def from_wkt(wkts):
             )
         elif kind == "LINESTRING":
             out.append(_Geom("LineString", coords=_parse_ring(body)))
+        elif kind == "MULTILINESTRING":
+            parts = [
+                _Geom("LineString", coords=_parse_ring(_strip_parens(p)))
+                for p in _split_top(body)
+            ]
+            out.append(_Geom("MultiLineString", geoms=parts))
         elif kind == "POLYGON":
-            rings = re.findall(r"\(([^()]*)\)", body)
-            ext = _Geom("LinearRing", coords=_parse_ring(rings[0]))
-            ints = [_Geom("LinearRing", coords=_parse_ring(r)) for r in rings[1:]]
-            out.append(_Geom("Polygon", exterior=ext, interiors=ints))
+            out.append(_parse_polygon_body(body))
+        elif kind == "MULTIPOLYGON":
+            parts = [
+                _parse_polygon_body(_strip_parens(p)) for p in _split_top(body)
+            ]
+            out.append(_Geom("MultiPolygon", geoms=parts))
         else:
             raise ValueError(f"unsupported WKT type: {kind}")
     return out
@@ -92,6 +130,12 @@ class GeoLayers:
 
     feature_types[i] / union_offsets[i]: per input row, which layer it
     landed in and its index there (geocolumn.py:30-66 union shape).
+
+    ``linestrings`` / ``polygons`` are PART layers; ``ls_geom_offsets``
+    / ``pg_geom_offsets`` map geometry index -> part range (the
+    reference's geometry_offset level): a MULTILINESTRING /
+    MULTIPOLYGON row owns several parts.  None means every geometry is
+    its own single part (the common case and the pre-multi layout).
     """
 
     feature_types: np.ndarray
@@ -101,6 +145,44 @@ class GeoLayers:
     multipoints: MultipointArrays
     linestrings: LinestringArrays
     polygons: PolygonArrays
+    ls_geom_offsets: np.ndarray = None
+    pg_geom_offsets: np.ndarray = None
+
+    # ------------------------------------------- geometry-level views
+
+    def _is_trivial(self, go) -> bool:
+        return go is None or bool(np.all(np.diff(go) == 1))
+
+    def linestring_layer(self):
+        """Geometry-level linestring container: the part layer when
+        every geometry is single-part, else MultiLinestringArrays."""
+        from ..geometry import MultiLinestringArrays
+
+        if self._is_trivial(self.ls_geom_offsets):
+            return self.linestrings
+        return MultiLinestringArrays(self.ls_geom_offsets, self.linestrings)
+
+    def polygon_layer(self):
+        from ..geometry import MultiPolygonArrays
+
+        if self._is_trivial(self.pg_geom_offsets):
+            return self.polygons
+        return MultiPolygonArrays(self.pg_geom_offsets, self.polygons)
+
+    def polygon_flat_layer(self) -> PolygonArrays:
+        """Per-geometry SINGLE polygon whose ring set is the union of
+        its parts' rings — the even-odd ray-cast over all rings equals
+        membership in the multipolygon union (disjoint parts), so the
+        predicate family can treat a multipolygon row as one polygon
+        (the same flattened view reference bounding.py:19-80 uses)."""
+        if self._is_trivial(self.pg_geom_offsets):
+            return self.polygons
+        return PolygonArrays(
+            self.polygons.part_offsets[self.pg_geom_offsets],
+            self.polygons.ring_offsets,
+            self.polygons.x,
+            self.polygons.y,
+        )
 
     def points_df(self, spark, ids=None):
         """Points layer as a Spark DataFrame (row_id, x, y) — the
@@ -125,15 +207,19 @@ class GeoLayers:
         ls_off = self.linestrings.part_offsets
         pg_part = self.polygons.part_offsets
         pg_ring = self.polygons.ring_offsets
+        ls_go = self.ls_geom_offsets
+        pg_go = self.pg_geom_offsets
         for i, (ft, k) in enumerate(zip(self.feature_types, self.union_offsets)):
             if ft == POINT:
                 out[i] = 1
             elif ft == MULTIPOINT:
                 out[i] = mp_off[k + 1] - mp_off[k]
             elif ft == LINESTRING:
-                out[i] = ls_off[k + 1] - ls_off[k]
+                p0, p1 = (k, k + 1) if ls_go is None else (ls_go[k], ls_go[k + 1])
+                out[i] = ls_off[p1] - ls_off[p0]
             elif ft == POLYGON:
-                out[i] = pg_ring[pg_part[k + 1]] - pg_ring[pg_part[k]]
+                p0, p1 = (k, k + 1) if pg_go is None else (pg_go[k], pg_go[k + 1])
+                out[i] = pg_ring[pg_part[p1]] - pg_ring[pg_part[p0]]
         return out
 
     def iloc(self, indices) -> "GeoLayers":
@@ -174,10 +260,8 @@ def _fmt_ring(xs, ys) -> str:
 
 def to_geoms(layers: GeoLayers):
     """Inverse of ``from_geopandas``: per-row shapely-protocol geometry
-    objects rebuilt from the four flat layers (None for missing rows).
-    Multi-part polygons were flattened on ingestion (each part's rings
-    merged under one layer entry, reference bounding.py flatten), so
-    they export as a single Polygon whose extra rings are interiors."""
+    objects rebuilt from the flat layers (None for missing rows).
+    Multi-part rows round-trip as MultiLineString / MultiPolygon."""
     mp_off = layers.multipoints.part_offsets
     mp_x, mp_y = layers.multipoints.x, layers.multipoints.y
     ls_off = layers.linestrings.part_offsets
@@ -185,6 +269,19 @@ def to_geoms(layers: GeoLayers):
     pg_part = layers.polygons.part_offsets
     pg_ring = layers.polygons.ring_offsets
     pg_x, pg_y = layers.polygons.x, layers.polygons.y
+    ls_go = layers.ls_geom_offsets
+    pg_go = layers.pg_geom_offsets
+
+    def _chain(p):
+        s, e = ls_off[p], ls_off[p + 1]
+        return _Geom("LineString", coords=list(zip(ls_x[s:e], ls_y[s:e])))
+
+    def _poly(p):
+        rings = []
+        for r in range(pg_part[p], pg_part[p + 1]):
+            s, e = pg_ring[r], pg_ring[r + 1]
+            rings.append(_Geom("LinearRing", coords=list(zip(pg_x[s:e], pg_y[s:e]))))
+        return _Geom("Polygon", exterior=rings[0], interiors=rings[1:])
 
     out = []
     for ft, k in zip(layers.feature_types, layers.union_offsets):
@@ -201,16 +298,19 @@ def to_geoms(layers: GeoLayers):
                 )
             )
         elif ft == LINESTRING:
-            s, e = ls_off[k], ls_off[k + 1]
+            p0, p1 = (k, k + 1) if ls_go is None else (int(ls_go[k]), int(ls_go[k + 1]))
+            parts = [_chain(p) for p in range(p0, p1)]
             out.append(
-                _Geom("LineString", coords=list(zip(ls_x[s:e], ls_y[s:e])))
+                parts[0] if len(parts) == 1
+                else _Geom("MultiLineString", geoms=parts)
             )
         elif ft == POLYGON:
-            rings = []
-            for r in range(pg_part[k], pg_part[k + 1]):
-                s, e = pg_ring[r], pg_ring[r + 1]
-                rings.append(_Geom("LinearRing", coords=list(zip(pg_x[s:e], pg_y[s:e]))))
-            out.append(_Geom("Polygon", exterior=rings[0], interiors=rings[1:]))
+            p0, p1 = (k, k + 1) if pg_go is None else (int(pg_go[k]), int(pg_go[k + 1]))
+            parts = [_poly(p) for p in range(p0, p1)]
+            out.append(
+                parts[0] if len(parts) == 1
+                else _Geom("MultiPolygon", geoms=parts)
+            )
         else:
             out.append(None)
     return out
@@ -231,6 +331,21 @@ def to_wkt(layers: GeoLayers) -> list:
         elif g.geom_type == "LineString":
             xs, ys = zip(*g.coords)
             out.append(f"LINESTRING ({_fmt_ring(xs, ys)})")
+        elif g.geom_type == "MultiLineString":
+            body = ", ".join(
+                "(" + _fmt_ring(*zip(*p.coords)) + ")" for p in g.geoms
+            )
+            out.append(f"MULTILINESTRING ({body})")
+        elif g.geom_type == "MultiPolygon":
+            parts = []
+            for part in g.geoms:
+                rings = [part.exterior] + list(part.interiors or [])
+                parts.append(
+                    "(" + ", ".join(
+                        "(" + _fmt_ring(*zip(*r.coords)) + ")" for r in rings
+                    ) + ")"
+                )
+            out.append(f"MULTIPOLYGON ({', '.join(parts)})")
         else:  # Polygon
             rings = [g.exterior] + list(g.interiors or [])
             body = ", ".join(
@@ -265,13 +380,27 @@ def from_geopandas(geoms) -> GeoLayers:
     px, py = [], []
     mp_off, mp_x, mp_y = [0], [], []
     ls_off, ls_x, ls_y = [0], [], []
+    ls_geom = [0]
     pg_part, pg_ring, pg_x, pg_y = [0], [0], [], []
+    pg_geom = [0]
 
     def _add_ring(ring):
         cs = list(ring.coords)
         pg_x.extend(c[0] for c in cs)
         pg_y.extend(c[1] for c in cs)
         pg_ring.append(len(pg_x))
+
+    def _add_chain(part):
+        cs = list(part.coords)
+        ls_x.extend(c[0] for c in cs)
+        ls_y.extend(c[1] for c in cs)
+        ls_off.append(len(ls_x))
+
+    def _add_poly_part(part):
+        _add_ring(part.exterior)
+        for hole in part.interiors or []:
+            _add_ring(hole)
+        pg_part.append(len(pg_ring) - 1)
 
     for g in geoms:
         if g is None or (hasattr(g, "is_empty") and g.is_empty):
@@ -293,37 +422,31 @@ def from_geopandas(geoms) -> GeoLayers:
             mp_off.append(len(mp_x))
         elif kind == "LineString":
             ftypes.append(LINESTRING)
-            uoff.append(len(ls_off) - 1)
-            cs = list(g.coords)
-            ls_x.extend(c[0] for c in cs)
-            ls_y.extend(c[1] for c in cs)
-            ls_off.append(len(ls_x))
+            uoff.append(len(ls_geom) - 1)
+            _add_chain(g)
+            ls_geom.append(len(ls_off) - 1)
         elif kind == "MultiLineString":
-            # reference flattens parts (geopandas_reader.py MultiLineString)
+            # geometry_offset level: each part keeps its own chain —
+            # NEVER concatenated (a bridged chain would add a phantom
+            # segment between parts; reference geopandas_reader.py
+            # records the same two-level offsets)
             ftypes.append(LINESTRING)
-            uoff.append(len(ls_off) - 1)
+            uoff.append(len(ls_geom) - 1)
             for part in g.geoms:
-                cs = list(part.coords)
-                ls_x.extend(c[0] for c in cs)
-                ls_y.extend(c[1] for c in cs)
-            ls_off.append(len(ls_x))
+                _add_chain(part)
+            ls_geom.append(len(ls_off) - 1)
         elif kind == "Polygon":
             ftypes.append(POLYGON)
-            uoff.append(len(pg_part) - 1)
-            _add_ring(g.exterior)
-            for hole in g.interiors or []:
-                _add_ring(hole)
-            pg_part.append(len(pg_ring) - 1)
+            uoff.append(len(pg_geom) - 1)
+            _add_poly_part(g)
+            pg_geom.append(len(pg_part) - 1)
         elif kind == "MultiPolygon":
-            # one layer entry per part, like polygon_bounding_boxes'
-            # flattened multipolygon handling (bounding.py:19-80)
+            # geometry_offset level: each part keeps its own ring set
             ftypes.append(POLYGON)
-            uoff.append(len(pg_part) - 1)
+            uoff.append(len(pg_geom) - 1)
             for part in g.geoms:
-                _add_ring(part.exterior)
-                for hole in part.interiors or []:
-                    _add_ring(hole)
-            pg_part.append(len(pg_ring) - 1)
+                _add_poly_part(part)
+            pg_geom.append(len(pg_part) - 1)
         else:
             raise ValueError(f"unsupported geometry type: {kind}")
 
@@ -335,4 +458,6 @@ def from_geopandas(geoms) -> GeoLayers:
         multipoints=MultipointArrays(mp_off, mp_x, mp_y),
         linestrings=LinestringArrays(ls_off, ls_x, ls_y),
         polygons=PolygonArrays(pg_part, pg_ring, pg_x, pg_y),
+        ls_geom_offsets=np.asarray(ls_geom, dtype=np.int64),
+        pg_geom_offsets=np.asarray(pg_geom, dtype=np.int64),
     )

@@ -48,9 +48,14 @@ class TestIngestion:
         mp = _Geom("MultiPolygon", geoms=[part1, part2])
         got = from_geopandas([mp])
         assert list(got.feature_types) == [POLYGON]
-        # both parts' rings belong to the one layer entry
-        np.testing.assert_array_equal(got.polygons.part_offsets, [0, 2])
+        # round 3: true geometry_offset level — each part keeps its own
+        # ring set, the geometry spans parts 0..2
+        np.testing.assert_array_equal(got.pg_geom_offsets, [0, 2])
+        np.testing.assert_array_equal(got.polygons.part_offsets, [0, 1, 2])
         np.testing.assert_array_equal(got.polygons.ring_offsets, [0, 4, 8])
+        # predicate view flattens back to one even-odd entry
+        flat = got.polygon_flat_layer()
+        np.testing.assert_array_equal(flat.part_offsets, [0, 2])
 
     def test_roundtrip_through_pip_join(self, spark):
         """WKT polygons + WKT points -> layers -> distributed PIP join
@@ -168,3 +173,67 @@ class TestExportHelpers:
         else:
             with pytest.raises(ImportError):
                 to_geopandas(layers)
+
+
+class TestMultiPartIngestion:
+    def test_wkt_roundtrip_multi(self, spark=None):
+        from cuspatial_spark.io.geopandas import from_geopandas, from_wkt, to_wkt
+
+        wkts = [
+            "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (10.0 0.0, 11.0 1.0))",
+            "MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0)), "
+            "((5.0 5.0, 7.0 5.0, 6.0 7.0, 5.0 5.0), "
+            "(5.5 5.5, 6.0 6.0, 6.5 5.5, 5.5 5.5)))",
+            "LINESTRING (0.0 0.0, 2.0 2.0)",
+            "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 0.0))",
+        ]
+        layers = from_geopandas(from_wkt(wkts))
+        assert to_wkt(layers) == wkts
+        # part structure: geometry 0 has 2 chains, geometry 1 has 1
+        assert list(layers.ls_geom_offsets) == [0, 2, 3]
+        assert list(layers.pg_geom_offsets) == [0, 2, 3]
+        # sizes count all parts' vertices
+        assert list(layers.sizes()) == [4, 12, 2, 4]
+
+    def test_no_phantom_bridge_distance(self, spark):
+        """Round-2 gap: MultiLineString parts used to be concatenated
+        into one chain, adding a phantom segment between parts that
+        corrupted distances.  distance((5,5), MLS((0 0,1 0),(10 0,11 0)))
+        must be sqrt(4^2+5^2), not 5 (the bridge's answer)."""
+        import numpy as np
+
+        from cuspatial_spark import GeoSeries
+
+        a = GeoSeries.from_wkt(spark, ["POINT (5.0 5.0)"])
+        b = GeoSeries.from_wkt(
+            spark, ["MULTILINESTRING ((0.0 0.0, 1.0 0.0), (10.0 0.0, 11.0 0.0))"]
+        )
+        d = [r.distance for r in a.distance(b).collect()]
+        assert d == [np.sqrt(16.0 + 25.0)]
+
+    def test_multipolygon_distance_and_predicates(self, spark):
+        from cuspatial_spark import GeoSeries
+
+        pts = GeoSeries.from_wkt(
+            spark, ["POINT (0.5 0.25)", "POINT (6.0 5.5)", "POINT (3.0 3.0)"]
+        )
+        mp = "MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0)), ((5.0 5.0, 7.0 5.0, 6.0 7.0, 5.0 5.0)))"
+        polys = GeoSeries.from_wkt(spark, [mp, mp, mp])
+        d = [r.distance for r in pts.distance(polys).orderBy("row_id").collect()]
+        assert d[0] == 0.0 and d[1] == 0.0 and d[2] > 0
+        # predicates run over the flattened even-odd view
+        w = [r.within for r in pts.within(polys).orderBy("row_id").collect()]
+        assert w == [True, True, False]
+
+    def test_multilinestring_predicates_raise(self, spark):
+        import pytest
+
+        from cuspatial_spark import GeoSeries
+
+        a = GeoSeries.from_wkt(spark, ["POINT (0.0 0.0)"])
+        b = GeoSeries.from_wkt(
+            spark, ["MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 3.0 0.0))"]
+        )
+        assert [r.distance for r in a.distance(b).collect()] == [0.0]
+        with pytest.raises(NotImplementedError, match="MULTILINESTRING"):
+            a.intersects(b)

@@ -101,6 +101,33 @@ def _pair_distance_fn(kernel, go_l, go_r):
     return fn
 
 
+def pairwise_point_in_polygon_spherical(
+    df: DataFrame,
+    polygons: PolygonArrays,
+    lon: str = "lon",
+    lat: str = "lat",
+    polygon_idx: str = "polygon_index",
+    result: str = "in_polygon",
+) -> DataFrame:
+    """Row i: point i inside polygon polygon_idx[i] under GEODESIC
+    semantics — vertices and points are lon/lat degrees on the sphere
+    (reference is_point_in_polygon.cuh:153-185, C++-internal; no
+    Python surface exists in the reference).  The polygon layer's
+    x/y arrays are interpreted as lon/lat."""
+    from ..kernels.spherical import point_in_polygon_spherical_pairs
+
+    po, ro, px, py = polygons.part_offsets, polygons.ring_offsets, polygons.x, polygons.y
+
+    def fn(pdf):
+        pdf[result] = point_in_polygon_spherical_pairs(
+            pdf[lon].to_numpy(), pdf[lat].to_numpy(),
+            pdf[polygon_idx].to_numpy(), po, ro, px, py,
+        )
+        return pdf
+
+    return _map_batches(df, fn, [StructField(result, BooleanType(), False)])
+
+
 def pairwise_point_in_polygon(
     df: DataFrame,
     polygons: PolygonArrays,

@@ -598,6 +598,32 @@ def q_multipart_distance(spark, sf_dir):
     return d2.select("event_id", "mls_dist", "mpoly_dist")
 
 
+def q_spherical_pip(spark, sf_dir):
+    """Geodesic point-in-polygon over a polar-cap polygon (reference
+    is_point_in_polygon.cuh:153-185 semantics — C++-internal, no SQL
+    equivalent, so this entry has no oracle_sql; the driver records
+    the rows-only check)."""
+    from cuspatial_spark.geometry import PolygonArrays
+    from cuspatial_spark.operators.pairwise import (
+        pairwise_point_in_polygon_spherical,
+    )
+
+    cap = PolygonArrays(
+        [0, 1], [0, 13],
+        [float(v) for v in range(0, 360, 30)] + [0.0],
+        [60.0] * 13,
+    )
+    pts = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("x") * 45.0 - 180.0).alias("lon"),
+        (F.col("y") * 7.5 + 25.0).alias("lat"),  # 25..85 -> straddles 60N
+        F.lit(0).alias("polygon_index"),
+    )
+    return pairwise_point_in_polygon_spherical(pts, cap).select(
+        "event_id", "in_polygon"
+    )
+
+
 def q_linestring_distance(spark, sf_dir):
     from cuspatial_spark.operators.pairwise import pairwise_linestring_distance
 
@@ -1083,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binpreds4": q_binpreds4,
         "binpreds5": q_binpreds5,
         "multipart_distance": q_multipart_distance,
+        "spherical_pip": q_spherical_pip,
     }
 
 

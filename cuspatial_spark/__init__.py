@@ -28,6 +28,7 @@ from .geometry import (  # noqa: F401
     MultiPolygonArrays,
     PolygonArrays,
 )
+from .geodataframe import GeoDataFrame  # noqa: F401
 from .geoseries import GeoSeries  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,123 @@
+"""GeoDataFrame facade — geometry columns + payload columns together.
+
+Mirrors the reference's GeoDataFrame surface
+(/root/reference/python/cuspatial/cuspatial/core/geodataframe.py:21-110):
+construct from a geopandas.GeoDataFrame (or a dict of columns), access
+geometry columns as GeoSeries, export back with ``to_geopandas``.
+
+Spark-first shape: payload columns live in an ordinary
+``pyspark.sql.DataFrame`` (``payload_df`` — the distributed side);
+geometry columns are driver-side GeoSeries (the broadcastable side of
+every spatial join).  ``points_df(col)`` lifts a point-geometry column
+into the payload frame for distributed joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geoseries import GeoSeries
+from .io.geopandas import POINT, from_geopandas as _ingest
+
+
+def _is_geometry_like(values) -> bool:
+    v0 = next((v for v in values if v is not None), None)
+    return v0 is not None and hasattr(v0, "geom_type")
+
+
+class GeoDataFrame:
+    """Driver-side container of named GeoSeries + payload columns."""
+
+    def __init__(self, spark, data: dict):
+        self.spark = spark
+        self._geometry: dict[str, GeoSeries] = {}
+        self._payload: dict[str, list] = {}
+        n = None
+        for name, values in data.items():
+            if isinstance(values, GeoSeries):
+                self._geometry[name] = values
+                m = len(values)
+            else:
+                values = list(values)
+                if _is_geometry_like(values):
+                    self._geometry[name] = GeoSeries(spark, _ingest(values))
+                else:
+                    self._payload[name] = values
+                m = len(values)
+            if n is None:
+                n = m
+            elif n != m:
+                raise ValueError(f"column {name!r} length {m} != {n}")
+        self._n = n or 0
+
+    # ------------------------------------------------------ constructors
+
+    @classmethod
+    def from_geopandas(cls, spark, gdf) -> "GeoDataFrame":
+        """From a geopandas.GeoDataFrame (or anything with ``columns``
+        and column access): geometry-typed columns become GeoSeries,
+        everything else payload."""
+        data = {c: list(gdf[c]) for c in gdf.columns}
+        return cls(spark, data)
+
+    # ---------------------------------------------------------- basics
+
+    def __len__(self):
+        return self._n
+
+    @property
+    def columns(self) -> list:
+        return list(self._payload) + list(self._geometry)
+
+    @property
+    def geometry_columns(self) -> list:
+        return list(self._geometry)
+
+    def __getitem__(self, name: str):
+        if name in self._geometry:
+            return self._geometry[name]
+        return self._payload[name]
+
+    # ------------------------------------------------------------ spark
+
+    def payload_df(self):
+        """Payload columns as a Spark DataFrame with ``row_id``."""
+        import pandas as pd
+
+        cols = {"row_id": np.arange(self._n)}
+        cols.update(self._payload)
+        return self.spark.createDataFrame(pd.DataFrame(cols))
+
+    def points_df(self, geometry: str):
+        """Payload + (x, y) of a POINT geometry column as one Spark
+        DataFrame — the distributed side of a spatial join."""
+        import pandas as pd
+
+        gs = self._geometry[geometry]
+        layers = gs.layers
+        if not np.all(layers.feature_types == POINT):
+            raise ValueError(f"column {geometry!r} is not all POINT rows")
+        cols = {"row_id": np.arange(self._n)}
+        cols.update(self._payload)
+        cols["x"] = layers.point_x[layers.union_offsets]
+        cols["y"] = layers.point_y[layers.union_offsets]
+        return self.spark.createDataFrame(pd.DataFrame(cols))
+
+    # ----------------------------------------------------------- export
+
+    def to_geopandas(self):
+        """geopandas.GeoDataFrame (requires geopandas/shapely;
+        reference geodataframe.py:82-110)."""
+        import geopandas as gpd
+
+        data = dict(self._payload)
+        for name, gs in self._geometry.items():
+            data[name] = gs.to_geopandas()
+        return gpd.GeoDataFrame(data)
+
+    def to_wkt(self) -> dict:
+        """Dependency-free export: payload lists + per-geometry WKT."""
+        out = dict(self._payload)
+        for name, gs in self._geometry.items():
+            out[name] = gs.to_wkt()
+        return out

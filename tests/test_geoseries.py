@@ -144,3 +144,32 @@ def test_mixed_vs_single_kind(spark):
     assert _vals(a.within(b).orderBy("row_id"), "within") == [False, True]
     assert _vals(a.intersects(b).orderBy("row_id"), "intersects") == [True, True]
     assert _vals(a.distance(b).orderBy("row_id"), "distance") == [0.0, 0.0]
+
+
+def test_geodataframe_facade(spark):
+    """GeoDataFrame: payload + geometry columns, point lifting, WKT
+    export (reference geodataframe.py:21-110 surface)."""
+    import numpy as np
+
+    from cuspatial_spark import GeoDataFrame
+    from cuspatial_spark.io.geopandas import from_wkt
+
+    gdf = GeoDataFrame(spark, {
+        "name": ["a", "b", "c"],
+        "geom": from_wkt(["POINT (1 1)", "POINT (5 5)", "POINT (2 3)"]),
+        "zone": from_wkt(["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"] * 3),
+    })
+    assert len(gdf) == 3
+    assert gdf.geometry_columns == ["geom", "zone"]
+    assert gdf["name"] == ["a", "b", "c"]
+    # pairwise predicate between two geometry columns
+    got = [r.within for r in gdf["geom"].within(gdf["zone"]).orderBy("row_id").collect()]
+    assert got == [True, False, True]
+    # point column lifts into a Spark frame for distributed joins
+    pdf = gdf.points_df("geom").orderBy("row_id").toPandas()
+    assert list(pdf["x"]) == [1.0, 5.0, 2.0] and list(pdf["name"]) == ["a", "b", "c"]
+    wkt = gdf.to_wkt()
+    assert wkt["geom"][0] == "POINT (1.0 1.0)"
+    import pytest
+    with pytest.raises(ValueError, match="length"):
+        GeoDataFrame(spark, {"a": [1, 2], "g": from_wkt(["POINT (0 0)"])})

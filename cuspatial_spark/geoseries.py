@@ -162,20 +162,16 @@ class GeoSeries:
         """Geometry-level layer container.  Multi-part rows: the
         distance family accepts Multi* containers directly (min over
         parts); predicates use the flattened even-odd polygon view for
-        multipolygons and are not yet defined over multilinestrings."""
-        from .geometry import MultiLinestringArrays
-
+        multipolygons, and multilinestrings answer intersects/disjoint
+        via the dispatcher's distance closure."""
         k = self._kind_code
         if k == MULTIPOINT:
             return self.layers.multipoints
         if k == LINESTRING:
-            layer = self.layers.linestring_layer()
-            if for_predicate and isinstance(layer, MultiLinestringArrays):
-                raise NotImplementedError(
-                    "binary predicates over MULTILINESTRING rows are not "
-                    "supported (distance is)"
-                )
-            return layer
+            # multi-part rows pass the Multi container through; the
+            # binpred dispatcher answers intersects/disjoint via the
+            # distance closure and raises for the rest
+            return self.layers.linestring_layer()
         if k == POLYGON:
             if for_predicate:
                 return self.layers.polygon_flat_layer()

@@ -89,6 +89,25 @@ def binpred(
     pair = (lhs_kind, rhs_kind)
     p = predicate
 
+    from ..geometry import MultiLinestringArrays, MultiPolygonArrays
+
+    if isinstance(lhs_layer, (MultiLinestringArrays, MultiPolygonArrays)) or isinstance(
+        rhs_layer, (MultiLinestringArrays, MultiPolygonArrays)
+    ):
+        # multi-part layers: the distance dispatcher handles them
+        # (min over parts), so the distance-closure predicates work;
+        # the specialized single-part predicates do not
+        if p == "intersects":
+            out = _distance(df, lhs_kind, rhs_kind, lhs_layer, rhs_layer, **kw)
+            return out.withColumn(result, F.col("distance") == 0.0).drop("distance")
+        if p == "disjoint":
+            out = _distance(df, lhs_kind, rhs_kind, lhs_layer, rhs_layer, **kw)
+            return out.withColumn(result, F.col("distance") != 0.0).drop("distance")
+        raise NotImplementedError(
+            f"{p} over multi-part geometry layers is not supported "
+            "(intersects/disjoint are, via the distance closure)"
+        )
+
     if p == "disjoint":
         out = binpred(
             df, "intersects", lhs_kind, rhs_kind, lhs_layer, rhs_layer,

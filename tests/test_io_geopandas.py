@@ -225,15 +225,21 @@ class TestMultiPartIngestion:
         w = [r.within for r in pts.within(polys).orderBy("row_id").collect()]
         assert w == [True, True, False]
 
-    def test_multilinestring_predicates_raise(self, spark):
+    def test_multilinestring_predicates(self, spark):
         import pytest
 
         from cuspatial_spark import GeoSeries
 
-        a = GeoSeries.from_wkt(spark, ["POINT (0.0 0.0)"])
+        a = GeoSeries.from_wkt(spark, ["POINT (0.0 0.0)", "POINT (5.0 5.0)"])
         b = GeoSeries.from_wkt(
-            spark, ["MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 3.0 0.0))"]
+            spark, ["MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 3.0 0.0))"] * 2
         )
-        assert [r.distance for r in a.distance(b).collect()] == [0.0]
-        with pytest.raises(NotImplementedError, match="MULTILINESTRING"):
-            a.intersects(b)
+        assert [r.distance for r in a.distance(b).orderBy("row_id").collect()] == [
+            0.0, pytest.approx(np.hypot(2.0, 5.0))
+        ]
+        # intersects/disjoint answer via the distance closure
+        assert [r.intersects for r in a.intersects(b).orderBy("row_id").collect()] == [True, False]
+        assert [r.disjoint for r in a.disjoint(b).orderBy("row_id").collect()] == [False, True]
+        # other predicates over multi-part chains still raise clearly
+        with pytest.raises(NotImplementedError, match="multi-part"):
+            a.touches(b)

@@ -668,6 +668,46 @@ def linestring_covers_linestring(
     )
 
 
+def _boundary_split_probes(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
+    """Interior-probe points for edge set A against boundary edge set
+    B: each A edge is SPLIT at every parameter where it meets a B edge
+    (crossing or collinear overlap), and the midpoint of every
+    resulting sub-interval is emitted.  Between consecutive split
+    parameters an edge cannot cross the boundary, so the midpoint's
+    side classifies its whole open sub-interval — an EXACT
+    interior-meeting test (sub-intervals ON the boundary are excluded
+    by the caller's on-boundary check)."""
+    xs_out, ys_out = [], []
+    s_x = bx1 - bx0
+    s_y = by1 - by0
+    for i in range(len(ax0)):
+        rx, ry = ax1[i] - ax0[i], ay1[i] - ay0[i]
+        acx, acy = bx0 - ax0[i], by0 - ay0[i]
+        denom = rx * s_y - ry * s_x
+        params = [0.0, 1.0]
+        nz = denom != 0.0
+        if nz.any():
+            t = (acx[nz] * s_y[nz] - acy[nz] * s_x[nz]) / denom[nz]
+            u = (acx[nz] * ry - acy[nz] * rx) / denom[nz]
+            hit = (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+            params.extend(t[hit].tolist())
+        rr = rx * rx + ry * ry
+        if rr > 0.0:
+            col = ~nz & (acx * ry - acy * rx == 0.0)
+            if col.any():
+                t0 = (acx[col] * rx + acy[col] * ry) / rr
+                t1 = ((bx1[col] - ax0[i]) * rx + (by1[col] - ay0[i]) * ry) / rr
+                for v in np.concatenate([t0, t1]):
+                    if 0.0 < v < 1.0:
+                        params.append(float(v))
+        params = sorted(set(params))
+        for a, b in zip(params[:-1], params[1:]):
+            m = (a + b) * 0.5
+            xs_out.append(ax0[i] + m * rx)
+            ys_out.append(ay0[i] + m * ry)
+    return np.asarray(xs_out), np.asarray(ys_out)
+
+
 def _ls_poly_touches(lines: LinestringArrays, polys: PolygonArrays, li: int, pi: int):
     """touches for (linestring, polygon): boundary contact exists, no
     proper edge crossing, no vertex strictly inside
@@ -675,17 +715,17 @@ def _ls_poly_touches(lines: LinestringArrays, polys: PolygonArrays, li: int, pi:
     resolution)."""
     s, e = int(lines.part_offsets[li]), int(lines.part_offsets[li + 1])
     a0, a1 = gk._feature_segments(lines.part_offsets, li)
-    # probe vertices AND segment points at t = 1/4, 1/2, 3/4: a chain
-    # whose vertices all sit on the boundary can still run through the
-    # interior (sampled probes — see _poly_poly_flags caveat)
-    vx = np.concatenate(
-        [lines.x[s:e]]
-        + [lines.x[a0] * (1 - t) + lines.x[a1] * t for t in (0.25, 0.5, 0.75)]
+    # probe vertices AND the midpoint of every boundary-split edge
+    # sub-interval: a chain whose vertices all sit on the boundary can
+    # still run through the interior; splitting at the computed
+    # boundary-crossing parameters makes the test exact
+    w0, w1 = gk._ring_segments_of_polygon(polys.part_offsets, polys.ring_offsets, pi)
+    sx_, sy_ = _boundary_split_probes(
+        lines.x[a0], lines.y[a0], lines.x[a1], lines.y[a1],
+        polys.x[w0], polys.y[w0], polys.x[w1], polys.y[w1],
     )
-    vy = np.concatenate(
-        [lines.y[s:e]]
-        + [lines.y[a0] * (1 - t) + lines.y[a1] * t for t in (0.25, 0.5, 0.75)]
-    )
+    vx = np.concatenate([lines.x[s:e], sx_])
+    vy = np.concatenate([lines.y[s:e], sy_])
     r0, r1 = int(polys.part_offsets[pi]), int(polys.part_offsets[pi + 1])
     inside = _pip_one_polygon(vx, vy, polys.ring_offsets[r0:r1 + 1], polys.x, polys.y)
     on_bound = _poly_boundary_dist2(vx, vy, polys, pi) == 0.0
@@ -747,24 +787,20 @@ def _polygon_contains_polygon_pair(lhs: PolygonArrays, rhs: PolygonArrays, a: in
 
 def _poly_poly_flags(lhs: PolygonArrays, rhs: PolygonArrays, a: int, b: int):
     """(contact, proper, a_strict_in_b, b_strict_in_a) — building
-    blocks for touches/overlaps.  Interior probes use vertices AND
-    edge points at t = 1/4, 1/2, 3/4: off-vertex probes catch
-    interiors that meet where every vertex sits exactly on the other's
-    boundary (collinear-contact overlaps, which have no proper edge
-    crossing).  Still SAMPLED probes: a non-convex boundary pair can
-    in principle dip into the other interior between probes with all
-    four probe points on the boundary — exact semantics would need
-    edge splitting at computed intersection parameters."""
+    blocks for touches/overlaps.  Interior probes use vertices AND the
+    midpoint of every boundary-split edge sub-interval
+    (_boundary_split_probes): between consecutive split parameters an
+    edge cannot cross the other boundary, so the classification is
+    exact — no sampled-probe gap on non-convex contact."""
     def strict_in(src, si, dst, di):
         s0, s1 = gk._ring_segments_of_polygon(src.part_offsets, src.ring_offsets, si)
-        xs = np.concatenate(
-            [src.x[s0]]
-            + [src.x[s0] * (1 - t) + src.x[s1] * t for t in (0.25, 0.5, 0.75)]
+        d0, d1 = gk._ring_segments_of_polygon(dst.part_offsets, dst.ring_offsets, di)
+        sxp, syp = _boundary_split_probes(
+            src.x[s0], src.y[s0], src.x[s1], src.y[s1],
+            dst.x[d0], dst.y[d0], dst.x[d1], dst.y[d1],
         )
-        ys = np.concatenate(
-            [src.y[s0]]
-            + [src.y[s0] * (1 - t) + src.y[s1] * t for t in (0.25, 0.5, 0.75)]
-        )
+        xs = np.concatenate([src.x[s0], sxp])
+        ys = np.concatenate([src.y[s0], syp])
         r0, r1 = int(dst.part_offsets[di]), int(dst.part_offsets[di + 1])
         inside = _pip_one_polygon(xs, ys, dst.ring_offsets[r0:r1 + 1], dst.x, dst.y)
         on_b = _poly_boundary_dist2(xs, ys, dst, di) == 0.0

@@ -222,3 +222,39 @@ class TestClosedChainBoundary:
         on_open = bp.point_on_linestring(
             df, open_chain, interior_only=True).orderBy("id").toPandas()
         assert list(on_open["on"]) == [False, True]
+
+
+class TestBoundarySplitProbes:
+    def test_edge_split_at_crossings(self):
+        import numpy as np
+        from cuspatial_spark.operators.binpreds import _boundary_split_probes
+
+        # one edge (0,0)->(4,0) vs a narrow square boundary cutting it
+        # at x=2.2 and 2.3: probes must land in all three sub-intervals
+        bx0 = np.array([2.2, 2.3, 2.3, 2.2])
+        by0 = np.array([-1.0, -1.0, 1.0, 1.0])
+        bx1 = np.array([2.3, 2.3, 2.2, 2.2])
+        by1 = np.array([-1.0, 1.0, 1.0, -1.0])
+        xs, ys = _boundary_split_probes(
+            np.array([0.0]), np.array([0.0]), np.array([4.0]), np.array([0.0]),
+            bx0, by0, bx1, by1,
+        )
+        assert (ys == 0.0).all()
+        xs = np.sort(xs)
+        assert len(xs) == 3
+        assert xs[0] < 2.2 and 2.2 < xs[1] < 2.3 and xs[2] > 2.3
+        # the interior sub-interval midpoint is NOT at a quartile —
+        # the old t=1/4,1/2,3/4 sampling missed this pocket
+        assert not np.isclose(xs[1] / 4.0, [0.25, 0.5, 0.75]).any()
+
+    def test_collinear_overlap_params(self):
+        import numpy as np
+        from cuspatial_spark.operators.binpreds import _boundary_split_probes
+
+        # boundary edge collinear with a sub-interval [1, 3] of the edge
+        xs, ys = _boundary_split_probes(
+            np.array([0.0]), np.array([0.0]), np.array([4.0]), np.array([0.0]),
+            np.array([1.0]), np.array([0.0]), np.array([3.0]), np.array([0.0]),
+        )
+        xs = np.sort(xs)
+        assert len(xs) == 3 and xs[0] < 1.0 and 1.0 < xs[1] < 3.0 and xs[2] > 3.0

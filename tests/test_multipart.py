@@ -258,3 +258,68 @@ class TestMultipartBboxesAndValidation:
             )
         with pytest.raises(ValueError, match="multi-part"):
             point_in_polygon(pts, mpoly)
+
+
+class TestReferenceDistanceFixtures:
+    """The reference's test_pairwise_point_polygon_distance one-pair /
+    two-pair fixture shapes (tests/spatial/distance/
+    test_pairwise_point_polygon_distance.py:35-107), hand-derived
+    expectations in place of its geopandas oracle, run through the
+    GeoSeries facade (point & multipoint x polygon & multipolygon)."""
+
+    TRI = "POLYGON ((0.0 1.0, 1.0 0.0, -1.0 0.0, 0.0 1.0))"
+    DIAMOND = "POLYGON ((0.0 1.0, 1.0 0.0, 0.0 -1.0, -1.0 0.0, 0.0 1.0))"
+    SQ2 = "POLYGON ((-4.0 -4.0, -4.0 -5.0, -5.0 -5.0, -5.0 -4.0, -5.0 -5.0, -4.0 -4.0))"
+    MP_TRI2 = ("MULTIPOLYGON (((-2.0 0.0, -1.0 0.0, -1.0 -1.0, -2.0 0.0)), "
+               "((1.0 0.0, 2.0 0.0, 1.0 -1.0, 1.0 0.0)))")
+
+    def _d(self, spark, lhs_wkts, rhs_wkts):
+        from cuspatial_spark import GeoSeries
+
+        a = GeoSeries.from_wkt(spark, lhs_wkts)
+        b = GeoSeries.from_wkt(spark, rhs_wkts)
+        return [r.distance for r in a.distance(b).orderBy("row_id").collect()]
+
+    def test_one_pair_cases(self, spark):
+        got = self._d(
+            spark,
+            ["POINT (0.0 0.0)", "POINT (0.0 0.0)",
+             "MULTIPOINT ((1.0 1.0), (2.0 2.0))",
+             "MULTIPOINT ((1.0 1.0), (2.0 2.0))"],
+            [self.TRI, self.MP_TRI2, self.TRI, self.MP_TRI2],
+        )
+        assert got[0] == 0.0                                  # on the edge
+        assert got[1] == pytest.approx(1.0, rel=1e-12)        # min over parts
+        assert got[2] == pytest.approx(2 ** -0.5, rel=1e-12)  # to x+y=1
+        assert got[3] == pytest.approx(1.0, rel=1e-12)        # (1,1)->(1,0)
+
+    def test_two_pair_cases(self, spark):
+        mpoly_rhs0 = (
+            "MULTIPOLYGON (((0.0 1.0, 1.0 0.0, -1.0 0.0, 0.0 1.0)), "
+            "((0.0 1.0, 1.0 0.0, 0.0 -1.0, -1.0 0.0, 0.0 1.0)))"
+        )
+        mpoly_rhs1 = (
+            "MULTIPOLYGON (((-4.0 -4.0, -4.0 -5.0, -5.0 -5.0, -5.0 -4.0, -5.0 -5.0, -4.0 -4.0)), "
+            "((-2.0 0.0, -2.0 -2.0, 0.0 -2.0, 0.0 0.0, -2.0 0.0)))"
+        )
+        got = self._d(
+            spark,
+            ["POINT (0.0 0.0)", "POINT (3.0 -3.0)",
+             "POINT (0.0 0.0)", "POINT (3.0 -3.0)",
+             "MULTIPOINT ((1.0 1.0), (2.0 2.0))",
+             "MULTIPOINT ((3.0 3.0), (4.0 4.0))",
+             "MULTIPOINT ((1.0 1.0), (2.0 2.0))",
+             "MULTIPOINT ((3.0 3.0), (4.0 4.0))"],
+            [self.TRI, self.SQ2,
+             mpoly_rhs0, mpoly_rhs1,
+             self.TRI, self.SQ2,
+             mpoly_rhs0, mpoly_rhs1],
+        )
+        assert got[0] == 0.0
+        assert got[1] == pytest.approx(np.sqrt(50.0), rel=1e-12)
+        assert got[2] == 0.0                                   # inside diamond
+        assert got[3] == pytest.approx(np.sqrt(10.0), rel=1e-12)
+        assert got[4] == pytest.approx(2 ** -0.5, rel=1e-12)
+        assert got[5] == pytest.approx(np.sqrt(98.0), rel=1e-12)
+        assert got[6] == pytest.approx(2 ** -0.5, rel=1e-12)
+        assert got[7] == pytest.approx(np.sqrt(18.0), rel=1e-12)

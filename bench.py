@@ -41,9 +41,10 @@ HEADLINE = [
     # byte-identity invariant) and raster->vector rectangle decomposition
     "extract_text",
     "vectorize",
-    # round 3: multi-part pairwise distances (part-expansion broadcast
-    # join + min reduce)
+    # round 3: multi-part pairwise distances (batch-level part
+    # expansion + min reduce) and geodesic point-in-polygon
     "multipart_distance",
+    "spherical_pip",
 ]
 
 

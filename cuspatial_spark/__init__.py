@@ -17,7 +17,9 @@ Public surface (mirrors cuspatial/__init__.py:15-43):
 - plans.*: distributed scale-path plans (tile equi-join + refine)
 - functions.*: pure Catalyst column expressions (morton keys, tiles,
   haversine, window predicates)
-- geometry: PolygonArrays / LinestringArrays layer containers
+- geometry: Polygon/Linestring/Multipoint layer containers plus the
+  MultiLinestring/MultiPolygon geometry_offset level
+- GeoSeries / GeoDataFrame: the GeoPandas-shaped switch surface
 """
 
 from . import functions, geometry, operators, plans  # noqa: F401

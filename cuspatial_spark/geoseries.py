@@ -2,12 +2,29 @@
 
 A reference user works through ``cuspatial.GeoSeries`` (constructed
 via from_geopandas / WKT) and calls pairwise methods: ``.distance``,
-the ten binary predicates, ``.sizes``, ``.iloc`` (reference
-core/geoseries.py).  This module offers the same call shapes over the
-Spark engine: a GeoSeries wraps the driver-side GeoLayers (broadcast
-geometry) plus a SparkSession, materializes the aligned pairwise
-DataFrame lazily, and dispatches to operators/dispatch.py (distance)
-and operators/binpred_dispatch.py (predicates).
+the ten binary predicates, ``.sizes``, ``.iloc`` / ``.loc``
+(reference core/geoseries.py).  This module offers the same call
+shapes over the Spark engine: a GeoSeries wraps the driver-side
+GeoLayers (broadcast geometry) plus a SparkSession, materializes the
+aligned pairwise DataFrame lazily, and dispatches to
+operators/dispatch.py (distance) and operators/binpred_dispatch.py
+(predicates).
+
+Reference kwargs parity (geoseries.py:1009-1476):
+
+- every predicate takes ``align`` (default True except
+  contains/contains_properly, default False) — when set, the two
+  series are index-aligned first (sorted union of indexes; rows
+  missing on either side become missing rows, which answer False for
+  predicates and NaN for distance);
+- ``contains``/``contains_properly`` take ``allpairs`` (the
+  semi-join-shaped (point_indices, polygon_indices) output over ALL
+  pairs, boundary points excluded — delegates to the distributed
+  plans.point_in_polygon_join) and ``mode`` ("full" | "basic_none" |
+  "basic_any" | "basic_all" | "basic_count": vertex-containment
+  composition, contains_geometry_processor.py:160-240);
+- ``distance`` takes ``align`` (default True,
+  geoseries.py:1400-1476).
 
 Mixed-kind series (the reference's GeoColumn union,
 core/_column/geocolumn.py:30-66 + geometa.py:15-59) are supported by
@@ -23,6 +40,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .io.geopandas import (
     LINESTRING,
@@ -31,6 +49,7 @@ from .io.geopandas import (
     POINT,
     POLYGON,
     GeoLayers,
+    align as _align_ids,
     from_geopandas,
     from_wkt,
     to_geoms,
@@ -44,18 +63,54 @@ _KIND_NAMES = {
     POLYGON: "polygon",
 }
 
-_PREDICATES = (
-    "intersects",
-    "disjoint",
-    "within",
-    "contains",
-    "contains_properly",
-    "covers",
-    "crosses",
-    "touches",
-    "overlaps",
-    "geom_equals",
-)
+# predicate name -> reference default for the align kwarg
+# (geoseries.py: contains/contains_properly default False, the other
+# eight default True)
+_PREDICATES = {
+    "intersects": True,
+    "disjoint": True,
+    "within": True,
+    "contains": False,
+    "contains_properly": False,
+    "covers": True,
+    "crosses": True,
+    "touches": True,
+    "overlaps": True,
+    "geom_equals": True,
+}
+
+_MODES = ("full", "basic_none", "basic_any", "basic_all", "basic_count")
+
+
+class _LocIndexer:
+    """Label-based row selection (reference GeoSeriesLocIndexer,
+    geoseries.py:147-221): scalar label, list of labels, or boolean
+    mask over the index."""
+
+    def __init__(self, series: "GeoSeries"):
+        self._s = series
+
+    def __getitem__(self, item) -> "GeoSeries":
+        s = self._s
+        idx = s.index
+        if isinstance(item, (list, tuple, np.ndarray, pd.Index)):
+            arr = np.asarray(item)
+            if arr.dtype == bool:
+                if len(arr) != len(s):
+                    raise ValueError("boolean mask length mismatch")
+                pos = np.flatnonzero(arr)
+            else:
+                pos = np.concatenate(
+                    [np.flatnonzero(idx == lab) for lab in arr]
+                ) if len(arr) else np.empty(0, dtype=np.int64)
+                if len(pos) < len(arr):
+                    missing = [lab for lab in arr if not (idx == lab).any()]
+                    raise KeyError(f"labels not in index: {missing}")
+        else:
+            pos = np.flatnonzero(idx == item)
+            if len(pos) == 0:
+                raise KeyError(item)
+        return s.iloc(pos)
 
 
 class GeoSeries:
@@ -63,9 +118,16 @@ class GeoSeries:
 
     _MIXED = -2
 
-    def __init__(self, spark: SparkSession, layers: GeoLayers):
+    def __init__(self, spark: SparkSession, layers: GeoLayers, index=None):
         self.spark = spark
         self.layers = layers
+        self.index = (
+            np.arange(len(layers)) if index is None else np.asarray(index)
+        )
+        if len(self.index) != len(layers):
+            raise ValueError(
+                f"index length {len(self.index)} != series length {len(layers)}"
+            )
         kinds = {int(k) for k in layers.feature_types if k != NONE}
         if len(kinds) > 1:
             self._kind_code = self._MIXED
@@ -75,12 +137,21 @@ class GeoSeries:
     # ------------------------------------------------------ constructors
 
     @classmethod
-    def from_wkt(cls, spark: SparkSession, wkts) -> "GeoSeries":
-        return cls(spark, from_geopandas(from_wkt(wkts)))
+    def from_wkt(cls, spark: SparkSession, wkts, index=None) -> "GeoSeries":
+        return cls(spark, from_geopandas(from_wkt(wkts)), index=index)
 
     @classmethod
-    def from_geopandas(cls, spark: SparkSession, geoms) -> "GeoSeries":
-        return cls(spark, from_geopandas(geoms))
+    def from_geopandas(cls, spark: SparkSession, geoms, index=None) -> "GeoSeries":
+        if index is None and hasattr(geoms, "index"):
+            index = np.asarray(geoms.index)
+        return cls(spark, from_geopandas(geoms), index=index)
+
+    @classmethod
+    def from_arrow(cls, spark: SparkSession, union, index=None) -> "GeoSeries":
+        """From a GeoArrow dense-union array (io/geopandas.from_arrow)."""
+        from .io.geopandas import from_arrow as _fa
+
+        return cls(spark, _fa(union), index=index)
 
     # ---------------------------------------------------------- basics
 
@@ -98,7 +169,12 @@ class GeoSeries:
         return self.layers.sizes()
 
     def iloc(self, indices) -> "GeoSeries":
-        return GeoSeries(self.spark, self.layers.iloc(indices))
+        pos = np.asarray(indices)
+        return GeoSeries(self.spark, self.layers.iloc(pos), index=self.index[pos])
+
+    @property
+    def loc(self) -> _LocIndexer:
+        return _LocIndexer(self)
 
     def to_wkt(self) -> list:
         return to_wkt(self.layers)
@@ -110,6 +186,41 @@ class GeoSeries:
         from .io.geopandas import to_geopandas
 
         return to_geopandas(self.layers)
+
+    def to_arrow(self):
+        """GeoArrow dense-union export (reference GeoColumn.to_arrow,
+        geocolumn.py:68-78)."""
+        from .io.geopandas import to_arrow as _ta
+
+        return _ta(self.layers)
+
+    # ----------------------------------------------------------- align
+
+    def align(self, other: "GeoSeries") -> tuple["GeoSeries", "GeoSeries"]:
+        """Index-align two series (reference align semantics): both are
+        reindexed to the sorted union of their indexes; labels absent
+        on a side become missing rows there (predicates answer False,
+        distance answers NaN for those rows)."""
+        union, pos_a, pos_b = _align_ids(self.index, other.index)
+
+        def take(series: "GeoSeries", pos) -> "GeoSeries":
+            geoms = series.to_geoms()
+            return GeoSeries(
+                series.spark,
+                from_geopandas(
+                    [geoms[int(p)] if p >= 0 else None for p in pos]
+                ),
+                index=union,
+            )
+
+        return take(self, pos_a), take(other, pos_b)
+
+    def _maybe_align(self, other: "GeoSeries", align: bool):
+        if align and not (
+            len(self) == len(other) and np.array_equal(self.index, other.index)
+        ):
+            return self.align(other)
+        return self, other
 
     # ------------------------------------------------- pairwise plumbing
 
@@ -180,11 +291,12 @@ class GeoSeries:
 
     # --------------------------------------------- mixed-kind sub-dispatch
 
-    def _kind_groups(self, other: "GeoSeries"):
+    def _kind_groups(self, other: "GeoSeries", rows=None):
         """Partition aligned rows by their (lhs_kind, rhs_kind) pair —
         the per-kind sub-dispatch of the reference's GeoColumn union
         (geocolumn.py:30-66): each homogeneous group runs through the
-        single-kind dispatcher, results reassemble on row_id."""
+        single-kind dispatcher, results reassemble on row_id.  ``rows``
+        restricts to a subset of row positions (the non-missing ones)."""
         if len(self) != len(other):
             raise ValueError(
                 f"length mismatch: {len(self)} vs {len(other)} "
@@ -192,24 +304,51 @@ class GeoSeries:
             )
         lt = np.asarray(self.layers.feature_types)
         rt = np.asarray(other.layers.feature_types)
-        keys = lt.astype(np.int64) * 16 + rt
+        rows = np.arange(len(self)) if rows is None else np.asarray(rows)
+        keys = lt[rows].astype(np.int64) * 16 + rt[rows]
         groups = []
         for key in np.unique(keys):
-            idx = np.flatnonzero(keys == key)
+            idx = rows[np.flatnonzero(keys == key)]
             lk, rk = int(key) // 16, int(key) % 16
             if lk == NONE or rk == NONE:
                 raise ValueError("pairwise op over missing (None) geometry rows")
             groups.append((idx, self.iloc(idx), other.iloc(idx)))
         return groups
 
-    def _dispatch_pairwise(self, other: "GeoSeries", run, out_col: str) -> DataFrame:
-        if self._kind_code != self._MIXED and other._kind_code != self._MIXED:
-            df, kw = self._pair_df(other)
-            return run(df, kw, self, other).select("row_id", out_col)
+    def _dispatch_pairwise(
+        self, other: "GeoSeries", run, out_col: str, none_value=None
+    ) -> DataFrame:
+        """Route aligned pairs through ``run`` per homogeneous kind
+        group; rows where either side is missing (NONE) short-circuit
+        to ``none_value`` (False for predicates, NaN for distance —
+        GeoPandas missing-geometry semantics)."""
+        lt = np.asarray(self.layers.feature_types)
+        rt = np.asarray(other.layers.feature_types)
+        if len(lt) != len(rt):
+            raise ValueError(
+                f"length mismatch: {len(self)} vs {len(other)} "
+                "(align the series first, or pass align=True)"
+            )
+        none_mask = (lt == NONE) | (rt == NONE)
         parts = []
-        for idx, sub_l, sub_r in self._kind_groups(other):
-            df, kw = sub_l._pair_df(sub_r, row_ids=idx)
-            parts.append(run(df, kw, sub_l, sub_r).select("row_id", out_col))
+        if none_mask.any():
+            none_idx = np.flatnonzero(none_mask)
+            pdf = pd.DataFrame({"row_id": none_idx})
+            pdf[out_col] = none_value
+            parts.append(self.spark.createDataFrame(pdf))
+        if not none_mask.all():
+            if (
+                not none_mask.any()
+                and self._kind_code != self._MIXED
+                and other._kind_code != self._MIXED
+            ):
+                df, kw = self._pair_df(other)
+                parts.append(run(df, kw, self, other).select("row_id", out_col))
+            else:
+                valid = np.flatnonzero(~none_mask)
+                for idx, sub_l, sub_r in self._kind_groups(other, rows=valid):
+                    df, kw = sub_l._pair_df(sub_r, row_ids=idx)
+                    parts.append(run(df, kw, sub_l, sub_r).select("row_id", out_col))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -217,40 +356,163 @@ class GeoSeries:
 
     # ------------------------------------------------------ pairwise ops
 
-    def distance(self, other: "GeoSeries") -> DataFrame:
-        """Row i: distance(self[i], other[i]) — (row_id, distance)."""
+    def distance(self, other: "GeoSeries", align: bool = True) -> DataFrame:
+        """Row i: distance(self[i], other[i]) — (row_id, distance).
+        With ``align=True`` (the reference default,
+        geoseries.py:1400-1476) the series are index-aligned first;
+        rows missing on either side answer NaN."""
         from .operators.dispatch import distance as _distance
 
-        def run(df, kw, lhs, rhs):
+        lhs, rhs = self._maybe_align(other, align)
+
+        def run(df, kw, sl, sr):
             return _distance(
-                df, lhs.kind, rhs.kind, lhs._layer_of(), rhs._layer_of(), **kw
+                df, sl.kind, sr.kind, sl._layer_of(), sr._layer_of(), **kw
             )
 
-        return self._dispatch_pairwise(other, run, "distance")
+        return lhs._dispatch_pairwise(rhs, run, "distance", none_value=float("nan"))
 
-    def _predicate(self, name: str, other: "GeoSeries") -> DataFrame:
+    # ------------------------------------------------ contains extras
+
+    def _contains_allpairs(self, other: "GeoSeries") -> DataFrame:
+        """contains(other, allpairs=True) (reference geoseries.py:1009):
+        (point_indices, polygon_indices) over ALL (lhs polygon, rhs
+        point) pairs, boundary points excluded — the distributed
+        filter+refine spatial join (plans.point_in_polygon_join with
+        edge_exact for the reference's deterministic edge exclusion)."""
+        from .operators.binpreds import contains_allpairs
+
+        if self._kind_code != POLYGON or other._kind_code != POINT:
+            raise NotImplementedError(
+                "allpairs=True requires a polygon lhs and a point rhs "
+                "(the reference's quadtree PIP shape)"
+            )
+        polys = self.layers.polygon_flat_layer()
+        u = other.layers.union_offsets
+        xs = other.layers.point_x[u]
+        ys = other.layers.point_y[u]
+        pts = self.spark.createDataFrame(
+            pd.DataFrame({"point_indices": np.arange(len(other)), "x": xs, "y": ys})
+        )
+        pad = 1e-9
+        x_lo = float(min(xs.min(), polys.x.min())) - pad
+        x_hi = float(max(xs.max(), polys.x.max())) + pad
+        y_lo = float(min(ys.min(), polys.y.min())) - pad
+        y_hi = float(max(ys.max(), polys.y.max())) + pad
+        out = contains_allpairs(
+            pts, polys,
+            x="x", y="y",
+            x_min=x_lo, x_max=x_hi, y_min=y_lo, y_max=y_hi,
+            keep_columns=["point_indices"], edge_exact=True,
+        )
+        return out.select(
+            "point_indices", F.col("polygon_id").alias("polygon_indices")
+        )
+
+    def _contains_mode(self, other: "GeoSeries", mode: str, out_col: str) -> DataFrame:
+        """The basic_* contains variants: vertex-containment counts of
+        rhs vertices strictly inside the lhs polygon
+        (contains_geometry_processor.py:160-240)."""
+        from .operators.binpreds import polygon_contains_properly_count
+
+        lt = np.asarray(self.layers.feature_types)
+        if not np.all((lt == POLYGON) | (lt == NONE)):
+            raise NotImplementedError(
+                f"mode={mode!r} requires a polygon lhs (reference "
+                "basic predicates are PIP-count based)"
+            )
+        polys = self.layers.polygon_flat_layer()
+        n = len(self)
+        rt = np.asarray(other.layers.feature_types)
+        valid = np.flatnonzero((lt == POLYGON) & (rt != NONE))
+        sizes = other.layers.sizes()
+        pdf = pd.DataFrame(
+            {
+                "row_id": valid,
+                "polygon_index": self.layers.union_offsets[valid],
+                "rhs_row": valid,
+                "rhs_size": sizes[valid],
+            }
+        )
+        rhs_layers = other.layers
+        counted = polygon_contains_properly_count(
+            self.spark.createDataFrame(
+                pdf,
+                schema="row_id: long, polygon_index: long, rhs_row: long, rhs_size: long",
+            ),
+            polys,
+            rhs_layers.row_vertices,
+            polygon_idx="polygon_index",
+            rhs_idx="rhs_row",
+            result="__count",
+        )
+        if mode == "basic_count":
+            expr = F.col("__count").cast("int")
+        elif mode == "basic_any":
+            expr = F.col("__count") > 0
+        elif mode == "basic_none":
+            expr = F.col("__count") == 0
+        else:  # basic_all
+            expr = F.col("__count") == F.col("rhs_size")
+        out = counted.select("row_id", expr.alias(out_col))
+        missing = np.setdiff1d(np.arange(n), valid)
+        if len(missing):
+            mpdf = pd.DataFrame({"row_id": missing})
+            # missing rows: count is 0 -> none=True, any/all=False, count=0
+            mpdf[out_col] = (
+                0 if mode == "basic_count" else (mode == "basic_none")
+            )
+            out = out.unionByName(self.spark.createDataFrame(mpdf))
+        return out
+
+    def _predicate(
+        self,
+        name: str,
+        other: "GeoSeries",
+        align: bool,
+        allpairs: bool = False,
+        mode: str = "full",
+    ) -> DataFrame:
         from .operators.binpred_dispatch import binpred
 
-        def run(df, kw, lhs, rhs):
+        if mode not in _MODES:
+            raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+        if allpairs:
+            return self._contains_allpairs(other)
+        lhs, rhs = self._maybe_align(other, align)
+        if mode != "full":
+            return lhs._contains_mode(rhs, mode, name)
+
+        def run(df, kw, sl, sr):
             return binpred(
-                df, name, lhs.kind, rhs.kind,
-                lhs._layer_of(for_predicate=True),
-                rhs._layer_of(for_predicate=True),
+                df, name, sl.kind, sr.kind,
+                sl._layer_of(for_predicate=True),
+                sr._layer_of(for_predicate=True),
                 result=name, **kw,
             )
 
-        return self._dispatch_pairwise(other, run, name)
+        return lhs._dispatch_pairwise(rhs, run, name, none_value=False)
 
 
 def _install_predicates():
-    for _p in _PREDICATES:
-        def method(self, other, _p=_p):
-            return self._predicate(_p, other)
+    for _p, _align_default in _PREDICATES.items():
+        if _p in ("contains", "contains_properly"):
+
+            def method(self, other, align=_align_default, allpairs=False,
+                       mode="full", _p=_p):
+                return self._predicate(
+                    _p, other, align=align, allpairs=allpairs, mode=mode
+                )
+        else:
+
+            def method(self, other, align=_align_default, _p=_p):
+                return self._predicate(_p, other, align=align)
 
         method.__name__ = _p
         method.__doc__ = (
             f"Row i: {_p}(self[i], other[i]) -> (row_id, {_p}) via "
-            "operators/binpred_dispatch.binpred."
+            "operators/binpred_dispatch.binpred.  align="
+            f"{_align_default} (reference default) index-aligns first."
         )
         setattr(GeoSeries, _p, method)
 

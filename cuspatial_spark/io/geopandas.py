@@ -199,6 +199,38 @@ class GeoLayers:
     def __len__(self):
         return len(self.feature_types)
 
+    def row_vertices(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """All coordinate vertices of input row ``i`` as (xs, ys) —
+        the rhs point set of the reference's contains mode semantics
+        (contains_geometry_processor.py:160-240 counts rhs vertices,
+        ring-closure duplicates included, as GeoPandasReader stores
+        closed rings).  Empty arrays for missing rows."""
+        ft = int(self.feature_types[i])
+        k = int(self.union_offsets[i])
+        if ft == POINT:
+            return (
+                np.asarray([self.point_x[k]], dtype=np.float64),
+                np.asarray([self.point_y[k]], dtype=np.float64),
+            )
+        if ft == MULTIPOINT:
+            s, e = int(self.multipoints.part_offsets[k]), int(
+                self.multipoints.part_offsets[k + 1]
+            )
+            return self.multipoints.x[s:e], self.multipoints.y[s:e]
+        if ft == LINESTRING:
+            go = self.ls_geom_offsets
+            p0, p1 = (k, k + 1) if go is None else (int(go[k]), int(go[k + 1]))
+            s = int(self.linestrings.part_offsets[p0])
+            e = int(self.linestrings.part_offsets[p1])
+            return self.linestrings.x[s:e], self.linestrings.y[s:e]
+        if ft == POLYGON:
+            go = self.pg_geom_offsets
+            p0, p1 = (k, k + 1) if go is None else (int(go[k]), int(go[k + 1]))
+            s = int(self.polygons.ring_offsets[self.polygons.part_offsets[p0]])
+            e = int(self.polygons.ring_offsets[self.polygons.part_offsets[p1]])
+            return self.polygons.x[s:e], self.polygons.y[s:e]
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
+
     def sizes(self) -> np.ndarray:
         """Vertex count per input row (reference GeoSeries.sizes,
         geoseries.py ``sizes`` property); 0 for missing rows."""
@@ -353,6 +385,122 @@ def to_wkt(layers: GeoLayers) -> list:
             )
             out.append(f"POLYGON ({body})")
     return out
+
+
+def to_arrow(layers: GeoLayers):
+    """GeoArrow dense-union export (reference GeoColumn.to_arrow,
+    core/_column/geocolumn.py:68-78, child layout io/pygeoarrow.py:7-28):
+    an Arrow dense UnionArray whose type codes are the Feature_Enum
+    values and whose four children are
+
+    - ``points``:   list<float64>                 — [x, y]
+    - ``mpoints``:  list<list<float64>>           — [[x, y], ...]
+    - ``lines``:    list<list<list<float64>>>     — chains of [x, y]
+    - ``polygons``: list<list<list<list<float64>>>> — parts > rings > [x, y]
+
+    Missing rows are rejected (Arrow union type codes must be >= 0;
+    the reference's NONE=-1 meta has no valid dense-union encoding).
+    """
+    import pyarrow as pa
+
+    types: list[int] = []
+    offsets: list[int] = []
+    points: list = []
+    mpoints: list = []
+    lines: list = []
+    polygons: list = []
+
+    def _ring(r):
+        return [[float(x), float(y)] for x, y in r.coords]
+
+    for g in to_geoms(layers):
+        if g is None:
+            raise ValueError(
+                "to_arrow: missing (None) rows have no dense-union "
+                "encoding — drop or fill them first"
+            )
+        t = g.geom_type
+        if t == "Point":
+            types.append(POINT)
+            offsets.append(len(points))
+            points.append([float(g.x), float(g.y)])
+        elif t == "MultiPoint":
+            types.append(MULTIPOINT)
+            offsets.append(len(mpoints))
+            mpoints.append([[float(p.x), float(p.y)] for p in g.geoms])
+        elif t in ("LineString", "MultiLineString"):
+            types.append(LINESTRING)
+            offsets.append(len(lines))
+            parts = [g] if t == "LineString" else list(g.geoms)
+            lines.append([_ring(p) for p in parts])
+        else:  # Polygon / MultiPolygon
+            types.append(POLYGON)
+            offsets.append(len(polygons))
+            parts = [g] if t == "Polygon" else list(g.geoms)
+            polygons.append(
+                [
+                    [_ring(p.exterior)] + [_ring(h) for h in (p.interiors or [])]
+                    for p in parts
+                ]
+            )
+
+    f64 = pa.float64()
+    return pa.UnionArray.from_dense(
+        pa.array(types, type=pa.int8()),
+        pa.array(offsets, type=pa.int32()),
+        [
+            pa.array(points, type=pa.list_(f64)),
+            pa.array(mpoints, type=pa.list_(pa.list_(f64))),
+            pa.array(lines, type=pa.list_(pa.list_(pa.list_(f64)))),
+            pa.array(polygons, type=pa.list_(pa.list_(pa.list_(pa.list_(f64))))),
+        ],
+        ["points", "mpoints", "lines", "polygons"],
+    )
+
+
+def from_arrow(union) -> GeoLayers:
+    """Inverse of ``to_arrow``: rebuild GeoLayers from a GeoArrow
+    dense-union array (the reference's from_pyarrow_lists layout,
+    io/pygeoarrow.py:30-52)."""
+    types = union.type_codes.to_pylist()
+    off = getattr(union, "offsets", None)
+    if off is None:  # older pyarrow spelling
+        off = union.value_offsets
+    offsets = off.to_pylist()
+    kids = [union.field(i).to_pylist() for i in range(4)]
+
+    def _chain(c):
+        return _Geom("LineString", coords=[tuple(p) for p in c])
+
+    def _poly(rings):
+        rs = [_Geom("LinearRing", coords=[tuple(p) for p in r]) for r in rings]
+        return _Geom("Polygon", exterior=rs[0], interiors=rs[1:])
+
+    geoms = []
+    for t, o in zip(types, offsets):
+        v = kids[t][o]
+        if t == POINT:
+            geoms.append(_Geom("Point", coords=[tuple(v)]))
+        elif t == MULTIPOINT:
+            geoms.append(
+                _Geom(
+                    "MultiPoint",
+                    geoms=[_Geom("Point", coords=[tuple(p)]) for p in v],
+                )
+            )
+        elif t == LINESTRING:
+            parts = [_chain(c) for c in v]
+            geoms.append(
+                parts[0] if len(parts) == 1
+                else _Geom("MultiLineString", geoms=parts)
+            )
+        else:
+            parts = [_poly(rings) for rings in v]
+            geoms.append(
+                parts[0] if len(parts) == 1
+                else _Geom("MultiPolygon", geoms=parts)
+            )
+    return from_geopandas(geoms)
 
 
 def to_geopandas(layers: GeoLayers):

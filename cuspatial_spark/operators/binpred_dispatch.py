@@ -184,7 +184,14 @@ def binpred(
             return bp.multipoint_equals_point(df, lhs_layer, result=result, **kw)
         if lhs_kind == POLYGON or pair in ((LINESTRING, POINT), (LINESTRING, MULTIPOINT)):
             # a feature is never within one of lower dimension
-            # (feature_within.py (LineString, Point): ImpossiblePredicate)
+            # (feature_within.py (LineString, Point): ImpossiblePredicate).
+            # (LINESTRING, MULTIPOINT) is a deliberate shapely-semantics
+            # deviation: the reference maps that cell to
+            # WithinIntersectsPredicate (feature_within.py:71), so it
+            # answers True whenever the chain touches any member point —
+            # shapely/GeoPandas (and our GEOS-backed oracles) say a 1-dim
+            # feature is never within a 0-dim set.  Same policy as the
+            # documented overlaps deviations.
             return _const(df, result, False)
         raise NotImplementedError(f"within not implemented for {pair}")
 

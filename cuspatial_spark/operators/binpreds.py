@@ -381,6 +381,55 @@ def polygon_contains_polygon(
     return _map_bool(df, fn, result)
 
 
+def polygon_contains_properly_count(
+    df: DataFrame, polygons: PolygonArrays, verts_of,
+    polygon_idx: str = "polygon_index", rhs_idx: str = "rhs_row",
+    result: str = "count",
+) -> DataFrame:
+    """Per pair: number of rhs vertices STRICTLY inside the lhs polygon
+    (boundary excluded) — the count behind the reference's
+    ``mode="basic_count"`` / ``basic_any`` / ``basic_none`` /
+    ``basic_all`` contains variants
+    (contains_geometry_processor.py:160-240).  ``verts_of(row)`` maps
+    an rhs row id to its (xs, ys) vertex arrays (GeoLayers.row_vertices
+    curried over the rhs series)."""
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType(df.schema.fields + [StructField(result, IntegerType(), False)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pi = pdf[polygon_idx].to_numpy()
+            ri = pdf[rhs_idx].to_numpy()
+            out = np.zeros(len(pdf), dtype=np.int32)
+            cache: dict = {}
+            for k in range(len(pdf)):
+                key = (int(pi[k]), int(ri[k]))
+                if key not in cache:
+                    xs, ys = verts_of(int(ri[k]))
+                    if len(xs) == 0:
+                        cache[key] = 0
+                    else:
+                        p = int(pi[k])
+                        r0 = int(polygons.part_offsets[p])
+                        r1 = int(polygons.part_offsets[p + 1])
+                        inside = _pip_one_polygon(
+                            np.asarray(xs, dtype=np.float64),
+                            np.asarray(ys, dtype=np.float64),
+                            polygons.ring_offsets[r0:r1 + 1],
+                            polygons.x, polygons.y,
+                        )
+                        on_b = _poly_boundary_dist2(xs, ys, polygons, p) == 0.0
+                        cache[key] = int((inside & ~on_b).sum())
+                out[k] = cache[key]
+            pdf[result] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def contains_allpairs(points_df: DataFrame, polygons: PolygonArrays, **kw) -> DataFrame:
     """GeoSeries.contains(other, allpairs=True) (geoseries.py:1009):
     the semi-join-shaped output — (point, polygon_id) index pairs of
@@ -1052,7 +1101,10 @@ def multipoint_equals_point(
         for m in np.unique(mi):
             sel = mi == m
             s, e = int(mps.part_offsets[m]), int(mps.part_offsets[m + 1])
-            out[sel] = (
+            # (e > s): an EMPTY multipoint equals nothing — without the
+            # guard, .all(axis=1) over a zero-width comparison is
+            # vacuously True
+            out[sel] = (e > s) & (
                 (xs[sel][:, None] == mps.x[None, s:e])
                 & (ys[sel][:, None] == mps.y[None, s:e])
             ).all(axis=1)

@@ -20,14 +20,44 @@ def derive_trajectories(
 ) -> tuple[DataFrame, DataFrame]:
     """Sort by (object_id, timestamp); return (sorted objects,
     offsets) where offsets[i] = start row of trajectory i in the
-    sorted frame (reference core/trajectory.py:20-89)."""
+    sorted frame (reference core/trajectory.py:20-89).
+
+    The prefix sum over per-trajectory counts is computed two-level
+    (the scale-safe shape, same pattern as raster.vectorize_cells):
+    counts range-partition on object_id, each partition cumsums under
+    a PARTITIONED window, and the per-partition base offsets — one row
+    per partition, bounded by parallelism, not by data — are combined
+    on the driver and broadcast back.  An unpartitioned
+    Window.orderBy would funnel every trajectory through one task."""
     objects = df.orderBy(object_id, timestamp)
-    w = Window.orderBy(object_id).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
+    counts = (
         df.groupBy(object_id)
         .agg(F.count("*").alias("n"))
-        .withColumn("offset", F.coalesce(F.sum("n").over(w), F.lit(0)))
-        .select(object_id, "offset")
+        .repartitionByRange(object_id)
+        .withColumn("__pid", F.spark_partition_id())
+        # pin the partition assignment: __pid must not change between
+        # the totals pass and the window pass
+        .localCheckpoint(eager=False)
+    )
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in counts.groupBy("__pid").agg(F.sum("n").alias("t")).collect()
+    )
+    bases, acc = [], 0
+    for pid, t in totals:
+        bases.append((pid, acc))
+        acc += int(t)
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(bases, schema="__pid: int, __base: long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(object_id)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counts.withColumn("__local", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .join(F.broadcast(base_df), on="__pid")
+        .select(object_id, (F.col("__base") + F.col("__local")).alias("offset"))
         .orderBy(object_id)
     )
     return objects, offsets

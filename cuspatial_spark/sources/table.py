@@ -59,9 +59,24 @@ class TiledTable:
 
     def history(self) -> list[dict]:
         return [
-            json.load(open(self._manifest_path(v)))
+            self._load_manifest(v)
             for v in range(1, self.current_version() + 1)
         ]
+
+    def _load_manifest(self, version: int) -> dict:
+        """A manifest published through the O_EXCL fallback (no-hardlink
+        filesystems) is written in place, so a concurrent reader can
+        observe it mid-write — retry briefly before giving up."""
+        import time
+
+        path = self._manifest_path(version)
+        for attempt in range(50):
+            try:
+                with open(path) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, ValueError):
+                time.sleep(0.05)
+        raise RuntimeError(f"manifest {path} unreadable (torn write?)")
 
     # -------------------------------------------------------------- commit
 
@@ -144,6 +159,25 @@ class TiledTable:
             except FileExistsError:
                 os.unlink(tmp)
                 version = self.current_version() + 1
+            except OSError:
+                # filesystem without hard links (or one that raises
+                # EPERM/ENOTSUP instead of FileExistsError): fall back
+                # to O_CREAT|O_EXCL, the portable fail-if-exists
+                # primitive.  Slightly weaker than link (the manifest
+                # is written in place, not published whole), so the
+                # read path must tolerate a torn manifest by retrying.
+                try:
+                    fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    os.unlink(tmp)
+                    version = self.current_version() + 1
+                    continue
+                with os.fdopen(fd, "w") as f, open(tmp) as src:
+                    f.write(src.read())
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.unlink(tmp)
+                return version
 
     # ---------------------------------------------------------------- read
 

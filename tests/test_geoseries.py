@@ -90,8 +90,10 @@ def test_sizes_iloc_roundtrip(spark):
 def test_errors(spark):
     a = GeoSeries.from_wkt(spark, ["POINT (0 0)"])
     b = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (1 1)"])
+    # align=True (reference default) auto-aligns unequal lengths; only
+    # align=False keeps the strict positional contract
     with pytest.raises(ValueError, match="length mismatch"):
-        a.distance(b)
+        a.distance(b, align=False)
 
 
 def test_mixed_kind_series(spark):

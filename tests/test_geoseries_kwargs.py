@@ -1,0 +1,237 @@
+"""Reference kwargs parity for the GeoSeries surface: ``align``
+(geoseries.py:1400-1476 distance, :1009-1476 predicates), ``allpairs``
+and ``mode`` (contains family, :1009-1063 +
+contains_geometry_processor.py:160-240), ``.loc`` label indexing
+(:147-221), and GeoArrow dense-union export (geocolumn.py:68-78)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cuspatial_spark import GeoSeries
+
+
+def _vals(df, col):
+    return [r[col] for r in df.orderBy("row_id").collect()]
+
+
+SQ = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+
+# ----------------------------------------------------------------- align
+
+
+def test_distance_align_reference_doctest(spark):
+    # the reference's own distance/align example (geoseries.py:1444-1459)
+    lines = GeoSeries.from_wkt(
+        spark, ["LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3)"]
+    )
+    polys = GeoSeries.from_wkt(
+        spark,
+        [
+            "POLYGON ((0 0, 1 1, 1 0, 0 0))",
+            "POLYGON ((2 2, 3 3, 3 2, 2 2))",
+        ],
+        index=[1, 0],
+    )
+    unaligned = _vals(lines.distance(polys, align=False), "distance")
+    assert unaligned == [0.0, 0.0]
+    aligned = _vals(lines.distance(polys, align=True), "distance")
+    assert aligned[0] == pytest.approx(math.sqrt(2))
+    assert aligned[1] == pytest.approx(math.sqrt(2))
+
+
+def test_distance_align_missing_rows_nan(spark):
+    a = GeoSeries.from_wkt(spark, ["POINT (0 0)"], index=[0])
+    b = GeoSeries.from_wkt(spark, ["POINT (1 1)", "POINT (2 2)"], index=[0, 1])
+    out = _vals(a.distance(b), "distance")  # align=True default
+    assert out[0] == pytest.approx(math.sqrt(2))
+    assert out[1] is None or math.isnan(out[1])
+
+
+def test_predicate_align_default_true(spark):
+    # unequal lengths no longer raise for align=True predicates:
+    # unmatched labels answer False
+    pts = GeoSeries.from_wkt(spark, ["POINT (2 2)"], index=[0])
+    polys = GeoSeries.from_wkt(spark, [SQ, SQ], index=[0, 1])
+    out = _vals(pts.within(polys), "within")
+    assert out == [True, False]
+
+
+def test_predicate_align_reorders_by_index(spark):
+    pts = GeoSeries.from_wkt(
+        spark, ["POINT (2 2)", "POINT (9 9)"], index=[0, 1]
+    )
+    # polygon containing (9 9) carries label 1, so aligned within is
+    # True for both rows; positional (align=False) is False for both
+    far = "POLYGON ((8 8, 10 8, 10 10, 8 10, 8 8))"
+    polys = GeoSeries.from_wkt(spark, [far, SQ], index=[1, 0])
+    assert _vals(pts.within(polys, align=True), "within") == [True, True]
+    assert _vals(pts.within(polys, align=False), "within") == [False, False]
+
+
+def test_contains_align_default_false(spark):
+    # contains keeps the reference's align=False default: unequal
+    # lengths raise
+    polys = GeoSeries.from_wkt(spark, [SQ])
+    pts = GeoSeries.from_wkt(spark, ["POINT (2 2)", "POINT (9 9)"])
+    with pytest.raises(ValueError, match="align"):
+        polys.contains(pts).collect()
+    assert _vals(polys.contains(pts, align=True), "contains") == [True, False]
+
+
+# -------------------------------------------------------------- allpairs
+
+
+def test_contains_allpairs(spark):
+    polys = GeoSeries.from_wkt(
+        spark,
+        [SQ, "POLYGON ((10 10, 14 10, 14 14, 10 14, 10 10))"],
+    )
+    pts = GeoSeries.from_wkt(
+        spark,
+        ["POINT (1 1)", "POINT (11 11)", "POINT (2 2)", "POINT (50 50)"],
+    )
+    out = polys.contains(pts, allpairs=True).collect()
+    pairs = sorted((r["point_indices"], r["polygon_indices"]) for r in out)
+    assert pairs == [(0, 0), (1, 1), (2, 0)]
+
+
+def test_contains_allpairs_excludes_boundary(spark):
+    polys = GeoSeries.from_wkt(spark, [SQ])
+    pts = GeoSeries.from_wkt(spark, ["POINT (2 0)", "POINT (2 2)"])
+    out = polys.contains(pts, allpairs=True).collect()
+    pairs = sorted((r["point_indices"], r["polygon_indices"]) for r in out)
+    assert pairs == [(1, 0)]  # the on-edge point (2 0) is excluded
+
+
+def test_contains_allpairs_requires_polygon_point(spark):
+    a = GeoSeries.from_wkt(spark, ["POINT (0 0)"])
+    b = GeoSeries.from_wkt(spark, ["POINT (0 0)"])
+    with pytest.raises(NotImplementedError):
+        a.contains(b, allpairs=True)
+
+
+# ------------------------------------------------------------------ mode
+
+
+def test_contains_mode_basic_count(spark):
+    polys = GeoSeries.from_wkt(spark, [SQ, SQ, SQ])
+    mps = GeoSeries.from_wkt(
+        spark,
+        [
+            "MULTIPOINT ((1 1), (2 2), (3 3))",   # 3 inside
+            "MULTIPOINT ((1 1), (9 9))",          # 1 inside
+            "MULTIPOINT ((2 0), (9 9))",          # boundary pt excluded
+        ],
+    )
+    assert _vals(polys.contains(mps, mode="basic_count"), "contains") == [3, 1, 0]
+    assert _vals(polys.contains(mps, mode="basic_any"), "contains") == [
+        True, True, False,
+    ]
+    assert _vals(polys.contains(mps, mode="basic_none"), "contains") == [
+        False, False, True,
+    ]
+    assert _vals(polys.contains(mps, mode="basic_all"), "contains") == [
+        True, False, False,
+    ]
+
+
+def test_contains_mode_linestring_vertices(spark):
+    polys = GeoSeries.from_wkt(spark, [SQ, SQ])
+    lines = GeoSeries.from_wkt(
+        spark,
+        [
+            "LINESTRING (1 1, 2 2, 3 3)",  # all 3 vertices inside
+            "LINESTRING (1 1, 9 9)",       # 1 of 2 inside
+        ],
+    )
+    assert _vals(
+        polys.contains_properly(lines, mode="basic_count"), "contains_properly"
+    ) == [3, 1]
+    assert _vals(
+        polys.contains_properly(lines, mode="basic_all"), "contains_properly"
+    ) == [True, False]
+
+
+def test_contains_mode_invalid(spark):
+    polys = GeoSeries.from_wkt(spark, [SQ])
+    pts = GeoSeries.from_wkt(spark, ["POINT (1 1)"])
+    with pytest.raises(ValueError, match="mode"):
+        polys.contains(pts, mode="bogus")
+    with pytest.raises(NotImplementedError):
+        pts.contains(pts, mode="basic_count")
+
+
+# ------------------------------------------------------------------- loc
+
+
+def test_loc_scalar_list_mask(spark):
+    s = GeoSeries.from_wkt(
+        spark,
+        ["POINT (0 0)", "POINT (1 1)", "POINT (2 2)"],
+        index=[10, 20, 30],
+    )
+    one = s.loc[20]
+    assert len(one) == 1 and one.to_wkt() == ["POINT (1.0 1.0)"]
+    two = s.loc[[30, 10]]
+    assert list(two.index) == [30, 10]
+    assert two.to_wkt() == ["POINT (2.0 2.0)", "POINT (0.0 0.0)"]
+    masked = s.loc[np.array([True, False, True])]
+    assert list(masked.index) == [10, 30]
+    with pytest.raises(KeyError):
+        s.loc[99]
+
+
+# -------------------------------------------------------------- GeoArrow
+
+
+def test_to_arrow_roundtrip(spark):
+    import pyarrow as pa
+
+    wkts = [
+        "POINT (1 2)",
+        "MULTIPOINT ((0 0), (1 1))",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+    ]
+    s = GeoSeries.from_wkt(spark, wkts)
+    arr = s.to_arrow()
+    assert isinstance(arr, pa.UnionArray)
+    # reference layout: dense union, children [points, mpoints, lines,
+    # polygons], type codes = Feature_Enum values
+    assert arr.type.mode == "dense"
+    assert [f.name for f in arr.type] == ["points", "mpoints", "lines", "polygons"]
+    assert arr.type_codes.to_pylist() == [0, 1, 2, 2, 3, 3]
+
+    back = GeoSeries.from_arrow(spark, arr)
+    assert back.to_wkt() == s.to_wkt()
+
+
+def test_to_arrow_rejects_missing(spark):
+    s = GeoSeries.from_wkt(spark, ["POINT (0 0)", None])
+    with pytest.raises(ValueError, match="missing"):
+        s.to_arrow()
+
+
+# ------------------------------------------- empty multipoint guard
+
+
+def test_empty_multipoint_never_equals_point(spark):
+    import pandas as pd
+
+    from cuspatial_spark.geometry import MultipointArrays
+    from cuspatial_spark.operators.binpreds import multipoint_equals_point
+
+    mps = MultipointArrays([0, 0, 1], [5.0], [5.0])  # row 0 EMPTY, row 1 {(5,5)}
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [5.0, 5.0], "y": [5.0, 5.0], "multipoint_index": [0, 1]})
+    )
+    out = [
+        r["result"]
+        for r in multipoint_equals_point(df, mps).orderBy("multipoint_index").collect()
+    ]
+    assert out == [False, True]

@@ -600,9 +600,12 @@ def q_multipart_distance(spark, sf_dir):
 
 def q_spherical_pip(spark, sf_dir):
     """Geodesic point-in-polygon over a polar-cap polygon (reference
-    is_point_in_polygon.cuh:153-185 semantics — C++-internal, no SQL
-    equivalent, so this entry has no oracle_sql; the driver records
-    the rows-only check)."""
+    is_point_in_polygon.cuh:153-185 semantics).  The oracle replays
+    the same unit-vector crossings test in SQL: polygon-side constants
+    (segment arcs, their cross-product normals, the reference
+    midpoint) are precomputed with the IDENTICAL numpy ops the kernel
+    uses, and the per-point dot/cross arithmetic is spelled out in the
+    kernel's operation order (_spherical_oracle_sql)."""
     from cuspatial_spark.geometry import PolygonArrays
     from cuspatial_spark.operators.pairwise import (
         pairwise_point_in_polygon_spherical,
@@ -1334,6 +1337,93 @@ def _norm_sql(a: str, dim: int = 64) -> str:
     )
 
 
+def _spherical_oracle_sql(pts: str) -> str:
+    """SQL replay of kernels/spherical.py for q_spherical_pip's fixed
+    polar cap (single closed ring, 12 segments at lat 60N).
+
+    The kernel's loop for a closed single-ring polygon reduces to:
+    left_check from segment (v11, v0) (also defines the reference
+    midpoint cp), crossing parity over segments (v[s-1], v[s]) for
+    s = 1..11 (the closing segment is skipped), answer =
+    (parity == left_check).  All polygon-side quantities — segment
+    endpoints b/a, their is_left normals ns = cross(-b, a-b), the
+    constant p4left = is_left(b, a, cp) — are computed here with the
+    exact numpy ops the kernel runs, then embedded as full-precision
+    literals; the per-point terms (tp from lon/lat, the arc normal
+    cross(-tp, cp-tp), the dot products) are written out in the
+    kernel's operation order so the sign decisions agree."""
+    import numpy as np
+
+    from cuspatial_spark.kernels.spherical import lonlat_to_xyz
+
+    lons = [float(v) for v in range(0, 360, 30)] + [0.0]
+    ring = lonlat_to_xyz(lons, [60.0] * 13)
+    b0, a0 = ring[11], ring[0]
+    # left_check normal: is_left_seg(b=v11, a=v0, tp)
+    nlc = np.cross(-b0, a0 - b0)
+    c = a0 + b0
+    cp = c / np.sqrt(c @ c)
+
+    r = repr  # shortest round-trip float literal
+
+    rows = []
+    for s in range(1, 12):
+        b, a = ring[s - 1], ring[s]
+        ns = np.cross(-b, a - b)
+        p4left = bool(((cp - b) @ ns) > 0.0)
+        rows.append(
+            f"({r(b[0])}, {r(b[1])}, {r(b[2])}, "
+            f"{r(a[0])}, {r(a[1])}, {r(a[2])}, "
+            f"{r(ns[0])}, {r(ns[1])}, {r(ns[2])}, {p4left})"
+        )
+    arcs = ",\n              ".join(rows)
+
+    cpx, cpy, cpz = r(cp[0]), r(cp[1]), r(cp[2])
+
+    def left_of_arc(qx: str, qy: str, qz: str) -> str:
+        """is_left of point (qx,qy,qz) for the arc (tp -> cp): the
+        kernel's cross(-tp, cp - tp) then dot with (q - tp)."""
+        nx = f"((-t.ty) * ({cpz} - t.tz) - (-t.tz) * ({cpy} - t.ty))"
+        ny = f"((-t.tz) * ({cpx} - t.tx) - (-t.tx) * ({cpz} - t.tz))"
+        nz = f"((-t.tx) * ({cpy} - t.ty) - (-t.ty) * ({cpx} - t.tx))"
+        return (
+            f"({nx} * ({qx} - t.tx) + {ny} * ({qy} - t.ty)"
+            f" + {nz} * ({qz} - t.tz) > 0.0)"
+        )
+
+    hit = (
+        "CASE WHEN (t.tx * a.bx + t.ty * a.by + t.tz * a.bz > 0.0) AND "
+        f"({left_of_arc('a.bx', 'a.by', 'a.bz')} != "
+        f"{left_of_arc('a.ax', 'a.ay', 'a.az')}) AND "
+        "((a.nsx * (t.tx - a.bx) + a.nsy * (t.ty - a.by)"
+        " + a.nsz * (t.tz - a.bz) > 0.0) != a.p4left) "
+        "THEN 1 ELSE 0 END"
+    )
+    lc = (
+        f"({r(nlc[0])} * (t.tx - {r(b0[0])}) + {r(nlc[1])} * (t.ty - {r(b0[1])})"
+        f" + {r(nlc[2])} * (t.tz - {r(b0[2])}) > 0.0)"
+    )
+    return f"""
+        WITH {pts},
+        tp AS (
+          SELECT event_id,
+                 cos(radians(y * 7.5 + 25.0)) * cos(radians(x * 45.0 - 180.0)) AS tx,
+                 cos(radians(y * 7.5 + 25.0)) * sin(radians(x * 45.0 - 180.0)) AS ty,
+                 sin(radians(y * 7.5 + 25.0)) AS tz
+          FROM pts
+        ),
+        arcs(bx, by, bz, ax, ay, az, nsx, nsy, nsz, p4left) AS (VALUES
+              {arcs}),
+        par AS (
+          SELECT t.event_id, SUM({hit}) % 2 AS w
+          FROM tp t CROSS JOIN arcs a
+          GROUP BY t.event_id
+        )
+        SELECT t.event_id, ((par.w = 1) = {lc}) AS in_polygon
+        FROM par JOIN tp t ON par.event_id = t.event_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"pts AS ({POINTS_SQL})"
     segs = f"segs(poly_id, ax, ay, bx, by) AS (VALUES {_segments_values()})"
@@ -2033,4 +2123,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.event_id, sqrt(m.d2) AS mls_dist, d.mpoly_dist
             FROM mld m JOIN mpd d ON m.event_id = d.event_id
         """,
+        "spherical_pip": _spherical_oracle_sql(pts),
     }

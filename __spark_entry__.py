@@ -229,6 +229,18 @@ def _segments_values(offsets=None) -> str:
     return ",\n".join(rows)
 
 
+def _mode_multipoint_values() -> str:
+    """(mp_id, px, py) vertex rows of the _mode_multipoints fixture."""
+    mps = _mode_multipoints()
+    rows = []
+    for m in range(len(mps.part_offsets) - 1):
+        for i in range(int(mps.part_offsets[m]), int(mps.part_offsets[m + 1])):
+            rows.append(
+                f"({m}, CAST({mps.x[i]!r} AS DOUBLE), CAST({mps.y[i]!r} AS DOUBLE))"
+            )
+    return ",\n".join(rows)
+
+
 def _line_segments_values() -> str:
     """(line_id, seg_id, ax, ay, bx, by) consecutive-vertex segments."""
     ro = np.asarray(RING_OFFSETS)
@@ -664,6 +676,44 @@ def q_binpreds(spark, sf_dir):
     out = bp.polygon_intersects_point(out, _polygons())
     out = bp.polygon_disjoint_point(out, _polygons())
     return out.select("event_id", "contains_properly", "intersects", "disjoint")
+
+
+def _mode_multipoints():
+    """40 deterministic multipoints (3-5 vertices each) in the AOI —
+    the rhs fixture of the contains mode=basic_count query."""
+    from cuspatial_spark.geometry import MultipointArrays
+
+    off, xs, ys = [0], [], []
+    for m in range(40):
+        for j in range(3 + m % 3):
+            xs.append(((m * 7 + j * 13) % 80) / 10.0)
+            ys.append(((m * 11 + j * 17) % 80) / 10.0)
+        off.append(len(xs))
+    return MultipointArrays(off, xs, ys)
+
+
+def q_contains_count(spark, sf_dir):
+    """GeoSeries.contains(mode="basic_count") kernel path (reference
+    contains_geometry_processor.py:160-240): per event, how many
+    vertices of its multipoint are STRICTLY inside its polygon
+    (ray-cast parity, boundary excluded)."""
+    from cuspatial_spark.operators.binpreds import polygon_contains_properly_count
+
+    mps = _mode_multipoints()
+    po, mx, my = mps.part_offsets, mps.x, mps.y
+
+    def verts_of(m: int):
+        s, e = int(po[m]), int(po[m + 1])
+        return mx[s:e], my[s:e]
+
+    pts = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % 4).alias("polygon_index"),
+        (F.col("event_id") % 40).alias("rhs_row"),
+    )
+    return polygon_contains_properly_count(
+        pts, _polygons(), verts_of, result="n_inside"
+    ).select("event_id", "n_inside")
 
 
 def q_binary_metadata(spark, sf_dir):
@@ -1113,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binpreds5": q_binpreds5,
         "multipart_distance": q_multipart_distance,
         "spherical_pip": q_spherical_pip,
+        "contains_count": q_contains_count,
     }
 
 
@@ -2124,4 +2175,24 @@ def oracle_sql() -> dict[str, str]:
             FROM mld m JOIN mpd d ON m.event_id = d.event_id
         """,
         "spherical_pip": _spherical_oracle_sql(pts),
+        "contains_count": f"""
+            WITH {pts}, {segs},
+            mpv(mp_id, px, py) AS (VALUES {_mode_multipoint_values()}),
+            cand AS (
+              SELECT p.event_id, v.px, v.py, s.ax, s.ay, s.bx, s.by
+              FROM pts p
+              JOIN mpv v ON v.mp_id = p.event_id % 40
+              JOIN segs s ON s.poly_id = p.event_id % 4
+            ),
+            per_v AS (
+              SELECT event_id, px, py,
+                     sum({_crossing_sql('px', 'py', 'cand')}) AS ncross,
+                     min({_psd_sql('px', 'py', 'cand.bx', 'cand.by', 'cand.ax', 'cand.ay')}) AS mind2
+              FROM cand GROUP BY event_id, px, py
+            )
+            SELECT event_id,
+                   CAST(sum(CASE WHEN ncross % 2 = 1 AND mind2 <> 0.0
+                            THEN 1 ELSE 0 END) AS INT) AS n_inside
+            FROM per_v GROUP BY event_id
+        """,
     }

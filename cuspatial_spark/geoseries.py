@@ -168,6 +168,18 @@ class GeoSeries:
     def sizes(self) -> np.ndarray:
         return self.layers.sizes()
 
+    @property
+    def point_indices(self) -> np.ndarray:
+        """Row index label owning each coordinate vertex (reference
+        geoseries.py:148-163: the index repeated by per-row vertex
+        count; homogeneous series only, TypeError on mixed)."""
+        if self._kind_code == self._MIXED:
+            raise TypeError(
+                "GeoSeries must contain only Points, MultiPoints, Lines, "
+                "or Polygons to return point indices."
+            )
+        return np.repeat(self.index, self.layers.sizes())
+
     def iloc(self, indices) -> "GeoSeries":
         pos = np.asarray(indices)
         return GeoSeries(self.spark, self.layers.iloc(pos), index=self.index[pos])
@@ -195,6 +207,27 @@ class GeoSeries:
         return _ta(self.layers)
 
     # ----------------------------------------------------------- align
+
+    def _coerce_other(self, other) -> "GeoSeries":
+        """Scalar broadcast (reference geoseries.py:1461-1476: a bare
+        geometry object broadcasts to self's length and index).  Also
+        accepts a WKT string scalar."""
+        if isinstance(other, GeoSeries):
+            return other
+        if isinstance(other, str):
+            return GeoSeries.from_wkt(
+                self.spark, [other] * len(self), index=self.index
+            )
+        if hasattr(other, "geom_type"):
+            return GeoSeries(
+                self.spark,
+                from_geopandas([other] * len(self)),
+                index=self.index,
+            )
+        raise TypeError(
+            f"expected GeoSeries, WKT string, or geometry object, "
+            f"got {type(other).__name__}"
+        )
 
     def align(self, other: "GeoSeries") -> tuple["GeoSeries", "GeoSeries"]:
         """Index-align two series (reference align semantics): both are
@@ -363,6 +396,7 @@ class GeoSeries:
         rows missing on either side answer NaN."""
         from .operators.dispatch import distance as _distance
 
+        other = self._coerce_other(other)
         lhs, rhs = self._maybe_align(other, align)
 
         def run(df, kw, sl, sr):
@@ -477,6 +511,7 @@ class GeoSeries:
 
         if mode not in _MODES:
             raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+        other = self._coerce_other(other)
         if allpairs:
             return self._contains_allpairs(other)
         lhs, rhs = self._maybe_align(other, align)

@@ -184,6 +184,31 @@ def test_loc_scalar_list_mask(spark):
         s.loc[99]
 
 
+def test_scalar_broadcast(spark):
+    # reference geoseries.py:1461-1476: a bare geometry broadcasts to
+    # self's length and index (WKT-string scalars accepted too)
+    pts = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (3 4)"])
+    assert _vals(pts.distance("POINT (0 0)"), "distance") == [0.0, 5.0]
+    pts2 = GeoSeries.from_wkt(spark, ["POINT (1 1)", "POINT (9 9)"])
+    assert _vals(pts2.within(SQ), "within") == [True, False]
+    with pytest.raises(TypeError, match="GeoSeries"):
+        pts.distance(42)
+
+
+def test_point_indices(spark):
+    s = GeoSeries.from_wkt(
+        spark,
+        ["LINESTRING (0 0, 1 1, 2 0)", "LINESTRING (5 5, 6 6)"],
+        index=[7, 9],
+    )
+    assert list(s.point_indices) == [7, 7, 7, 9, 9]
+    pts = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (1 1)"])
+    assert list(pts.point_indices) == [0, 1]
+    mixed = GeoSeries.from_wkt(spark, ["POINT (0 0)", "LINESTRING (0 0, 1 1)"])
+    with pytest.raises(TypeError):
+        mixed.point_indices
+
+
 # -------------------------------------------------------------- GeoArrow
 
 

@@ -541,6 +541,35 @@ class TestTiledTable:
         assert t.current_version() == 3
 
 
+    def test_publish_without_hardlinks(self, spark, tmp_path, monkeypatch):
+        """Filesystems that cannot hard-link (or raise EPERM instead of
+        FileExistsError) must fall back to the O_CREAT|O_EXCL publish
+        and still refuse to overwrite a racing winner's manifest."""
+        import errno
+        import json
+        import os
+        from cuspatial_spark.sources import table as tbl
+
+        t = tbl.TiledTable(str(tmp_path / "table4"))
+        df = spark.createDataFrame(pd.DataFrame({
+            "point_id": [0, 1], "x": [1.0, 2.0], "y": [1.0, 2.0]}))
+
+        def no_link(src, dst):
+            raise OSError(errno.EPERM, "hard links not supported")
+
+        monkeypatch.setattr(tbl.os, "link", no_link)
+        assert t.commit(df, "x", "y", 0, 8, 0, 8) == 1
+        assert t.read(spark).count() == 2
+        assert t.history()[0]["rows"] == 2
+        # race on the fallback path: v2 appears before our publish
+        winner = dict(json.load(open(t._manifest_path(1))))
+        winner["version"] = 2
+        with open(t._manifest_path(2), "w") as f:
+            json.dump(winner, f)
+        assert t.commit(df, "x", "y", 0, 8, 0, 8) == 3
+        assert json.load(open(t._manifest_path(2))) == winner
+
+
 class TestIngestPipeline:
     def test_streaming_ingest_matches_batch(self, spark, tmp_path):
         """The full web-ingest pipeline (extract -> gates -> geotag ->

@@ -421,12 +421,24 @@ class GeoSeries:
                 "allpairs=True requires a polygon lhs and a point rhs "
                 "(the reference's quadtree PIP shape)"
             )
-        polys = self.layers.polygon_flat_layer()
-        u = other.layers.union_offsets
+        # rows missing on either side (e.g. introduced by align) simply
+        # produce no pairs; indices always refer to ORIGINAL positions
+        lhs_valid = np.flatnonzero(
+            np.asarray(self.layers.feature_types) == POLYGON
+        )
+        rhs_valid = np.flatnonzero(
+            np.asarray(other.layers.feature_types) == POINT
+        )
+        lhs = self if len(lhs_valid) == len(self) else self.iloc(lhs_valid)
+        polys = lhs.layers.polygon_flat_layer()
+        # kernel-path output ids carry through PolygonArrays.ids: remap
+        # subset positions back to original row positions
+        polys.ids = lhs_valid
+        u = other.layers.union_offsets[rhs_valid]
         xs = other.layers.point_x[u]
         ys = other.layers.point_y[u]
         pts = self.spark.createDataFrame(
-            pd.DataFrame({"point_indices": np.arange(len(other)), "x": xs, "y": ys})
+            pd.DataFrame({"point_indices": rhs_valid, "x": xs, "y": ys})
         )
         pad = 1e-9
         x_lo = float(min(xs.min(), polys.x.min())) - pad
@@ -513,7 +525,11 @@ class GeoSeries:
             raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
         other = self._coerce_other(other)
         if allpairs:
-            return self._contains_allpairs(other)
+            # allpairs output is over ALL pairs, so alignment only
+            # matters for which rows exist: apply it first like the
+            # reference root predicate does
+            lhs, rhs = self._maybe_align(other, align)
+            return lhs._contains_allpairs(rhs)
         lhs, rhs = self._maybe_align(other, align)
         if mode != "full":
             return lhs._contains_mode(rhs, mode, name)

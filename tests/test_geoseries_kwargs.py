@@ -106,6 +106,18 @@ def test_contains_allpairs_excludes_boundary(spark):
     assert pairs == [(1, 0)]  # the on-edge point (2 0) is excluded
 
 
+def test_contains_allpairs_with_align_missing_rows(spark):
+    # align introduces a missing polygon row (label 1 has no polygon):
+    # it yields no pairs; indices stay positional over the aligned rows
+    polys = GeoSeries.from_wkt(spark, [SQ], index=[0])
+    pts = GeoSeries.from_wkt(
+        spark, ["POINT (1 1)", "POINT (2 2)"], index=[0, 1]
+    )
+    out = polys.contains(pts, align=True, allpairs=True).collect()
+    pairs = sorted((r["point_indices"], r["polygon_indices"]) for r in out)
+    assert pairs == [(0, 0), (1, 0)]
+
+
 def test_contains_allpairs_requires_polygon_point(spark):
     a = GeoSeries.from_wkt(spark, ["POINT (0 0)"])
     b = GeoSeries.from_wkt(spark, ["POINT (0 0)"])

@@ -155,6 +155,15 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         run_child(int(sys.argv[2]))
         return
+    from bench import _cpu_gauge
+
+    n, m = min(LEVELS), max(LEVELS)
+    # hardware capacity gauge at BOTH parallelism levels, before and
+    # after the measured runs: this VM does not deliver m/n-x compute
+    # for an m/n-x vCPU step (virtualized frequency/steal + external
+    # tenants; see BASELINE.md calibrations), so raw wall-clock
+    # efficiency is bounded by hw_capacity_ratio/(m/n), not by 1.
+    hw = {c: _cpu_gauge(c, dur=0.4) for c in (n, m)}
     results = {}
     for cpus in LEVELS:
         out = subprocess.run(
@@ -163,8 +172,10 @@ def main() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    n, m = min(LEVELS), max(LEVELS)
+    for c in (n, m):
+        hw[c] = max(hw[c], _cpu_gauge(c, dur=0.4))
     eff = results[n]["seconds"] / ((m / n) * results[m]["seconds"])
+    cap_ratio = hw[m] / hw[n]
     print(json.dumps({
         "job": (
             "tile-filtered point-in-polygon join (cached input)"
@@ -176,6 +187,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "criterion": ">= 0.8",
         "pass": eff >= 0.8,
+        "hw_capacity_gauge": {str(c): round(hw[c], 1) for c in (n, m)},
+        "hw_capacity_ratio": round(cap_ratio, 3),
+        "capacity_normalized_efficiency": round(
+            results[n]["seconds"] / results[m]["seconds"] / cap_ratio, 3
+        ),
     }))
 
 

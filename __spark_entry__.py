@@ -496,6 +496,29 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN with nprobe = n_centroids: probing every
+    bucket makes the candidate set complete, so the result is EXACTLY
+    brute-force top-k — which gives the IVF code path (centroid
+    assignment, bucket equi-join, per-bucket rank) a hard SQL oracle
+    instead of a recall-only pytest bound.  Centroids are a fixed
+    deterministic matrix (no data-dependent k-means in the oracle
+    path)."""
+    import numpy as np
+
+    from cuspatial_spark.similarity.ann import ivf_topk
+
+    cts = np.array(
+        [[((i * 13 + j * 7) % 21 - 10) / 10.0 for j in range(64)] for i in range(8)]
+    )
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, cts, k=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    )
+
+
 def q_utm(spark, sf_dir):
     """WGS84 -> UTM zone 31N over event-derived lon/lat (cuProj parity
     transformer, pure Catalyst expressions)."""
@@ -1164,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipart_distance": q_multipart_distance,
         "spherical_pip": q_spherical_pip,
         "contains_count": q_contains_count,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -2175,6 +2199,24 @@ def oracle_sql() -> dict[str, str]:
             FROM mld m JOIN mpd d ON m.event_id = d.event_id
         """,
         "spherical_pip": _spherical_oracle_sql(pts),
+        # full-probe IVF is exactly brute-force top-k: same oracle
+        "ann_ivf": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                     ({_dot_sql('v.embedding', 'q.qv')})
+                     / ({_norm_sql('v.embedding')} * {_norm_sql('q.qv')}) AS s
+              FROM embeddings v, q
+              WHERE v.vec_id != q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, s,
+                     row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(s, 6) AS score
+            FROM ranked WHERE rank <= 5
+        """,
         "contains_count": f"""
             WITH {pts}, {segs},
             mpv(mp_id, px, py) AS (VALUES {_mode_multipoint_values()}),

@@ -113,6 +113,83 @@ class _LocIndexer:
         return s.iloc(pos)
 
 
+class _TypeAccessor:
+    """Per-type coordinate accessor (reference GeoColumnAccessor
+    family, geoseries.py:224-341): `.x` / `.y` / `.xy` expose the flat
+    coordinate buffers of ONE geometry type, plus the nested offset
+    arrays where the type has them, and `point_indices()` maps each
+    vertex back to the owning row's index label."""
+
+    def __init__(self, series: "GeoSeries", kind: int):
+        self._s = series
+        self._kind = kind
+        self._rows = np.flatnonzero(
+            np.asarray(series.layers.feature_types) == kind
+        )
+
+    def _buffers(self) -> tuple[np.ndarray, np.ndarray]:
+        L = self._s.layers
+        if self._kind == POINT:
+            u = L.union_offsets[self._rows]
+            return L.point_x[u], L.point_y[u]
+        if self._kind == MULTIPOINT:
+            return L.multipoints.x, L.multipoints.y
+        if self._kind == LINESTRING:
+            return L.linestrings.x, L.linestrings.y
+        return L.polygons.x, L.polygons.y
+
+    @property
+    def x(self) -> np.ndarray:
+        return self._buffers()[0]
+
+    @property
+    def y(self) -> np.ndarray:
+        return self._buffers()[1]
+
+    @property
+    def xy(self) -> np.ndarray:
+        """Interleaved [x0, y0, x1, y1, ...] (reference `.xy`)."""
+        xs, ys = self._buffers()
+        out = np.empty(2 * len(xs), dtype=np.float64)
+        out[0::2], out[1::2] = xs, ys
+        return out
+
+    @property
+    def geometry_offset(self) -> np.ndarray:
+        L = self._s.layers
+        if self._kind == MULTIPOINT:
+            return np.asarray(L.multipoints.part_offsets)
+        if self._kind == LINESTRING:
+            go = L.ls_geom_offsets
+            n = len(L.linestrings.part_offsets) - 1
+            return np.arange(n + 1) if go is None else np.asarray(go)
+        if self._kind == POLYGON:
+            go = L.pg_geom_offsets
+            n = len(L.polygons.part_offsets) - 1
+            return np.arange(n + 1) if go is None else np.asarray(go)
+        raise AttributeError("points accessor has no geometry_offset")
+
+    @property
+    def part_offset(self) -> np.ndarray:
+        L = self._s.layers
+        if self._kind == LINESTRING:
+            return np.asarray(L.linestrings.part_offsets)
+        if self._kind == POLYGON:
+            return np.asarray(L.polygons.part_offsets)
+        raise AttributeError("part_offset exists for lines/polygons only")
+
+    @property
+    def ring_offset(self) -> np.ndarray:
+        if self._kind == POLYGON:
+            return np.asarray(self._s.layers.polygons.ring_offsets)
+        raise AttributeError("ring_offset exists for polygons only")
+
+    def point_indices(self) -> np.ndarray:
+        """Owning row's index label per vertex of THIS type's rows."""
+        sizes = self._s.layers.sizes()[self._rows]
+        return np.repeat(self._s.index[self._rows], sizes)
+
+
 class GeoSeries:
     """Driver-side geometry series with Spark-dispatched pairwise ops."""
 
@@ -179,6 +256,23 @@ class GeoSeries:
                 "or Polygons to return point indices."
             )
         return np.repeat(self.index, self.layers.sizes())
+
+    @property
+    def points(self) -> _TypeAccessor:
+        """Coordinate accessor for the POINT rows (reference `.points`)."""
+        return _TypeAccessor(self, POINT)
+
+    @property
+    def multipoints(self) -> _TypeAccessor:
+        return _TypeAccessor(self, MULTIPOINT)
+
+    @property
+    def lines(self) -> _TypeAccessor:
+        return _TypeAccessor(self, LINESTRING)
+
+    @property
+    def polygons(self) -> _TypeAccessor:
+        return _TypeAccessor(self, POLYGON)
 
     def iloc(self, indices) -> "GeoSeries":
         pos = np.asarray(indices)

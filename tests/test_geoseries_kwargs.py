@@ -221,6 +221,34 @@ def test_point_indices(spark):
         mixed.point_indices
 
 
+def test_type_accessors(spark):
+    # reference GeoColumnAccessor family (geoseries.py:224-341)
+    s = GeoSeries.from_wkt(
+        spark,
+        [
+            "POINT (1 2)",
+            "LINESTRING (0 0, 1 1, 2 0)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "MULTIPOINT ((5 5), (6 6))",
+        ],
+        index=[10, 11, 12, 13],
+    )
+    assert list(s.points.x) == [1.0] and list(s.points.y) == [2.0]
+    assert list(s.points.xy) == [1.0, 2.0]
+    assert list(s.lines.x) == [0.0, 1.0, 2.0]
+    assert list(s.lines.part_offset) == [0, 3]
+    assert list(s.lines.geometry_offset) == [0, 1]
+    assert list(s.lines.point_indices()) == [11, 11, 11]
+    assert list(s.polygons.ring_offset) == [0, 5]
+    assert list(s.polygons.part_offset) == [0, 1]
+    assert list(s.polygons.point_indices()) == [12] * 5
+    assert list(s.multipoints.geometry_offset) == [0, 2]
+    assert list(s.multipoints.xy) == [5.0, 5.0, 6.0, 6.0]
+    assert list(s.multipoints.point_indices()) == [13, 13]
+    with pytest.raises(AttributeError):
+        s.points.geometry_offset
+
+
 # -------------------------------------------------------------- GeoArrow
 
 

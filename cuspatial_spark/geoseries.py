@@ -257,6 +257,15 @@ class GeoSeries:
             )
         return np.repeat(self.index, self.layers.sizes())
 
+    def isna(self) -> np.ndarray:
+        """Per-row missing-geometry mask (reference geoseries.py:
+        1385-1390: input_types == NONE)."""
+        return np.asarray(self.layers.feature_types) == NONE
+
+    def notna(self) -> np.ndarray:
+        """Per-row non-missing mask (reference geoseries.py:1392-1398)."""
+        return ~self.isna()
+
     @property
     def points(self) -> _TypeAccessor:
         """Coordinate accessor for the POINT rows (reference `.points`)."""

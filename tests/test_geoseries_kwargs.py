@@ -221,6 +221,12 @@ def test_point_indices(spark):
         mixed.point_indices
 
 
+def test_isna_notna(spark):
+    s = GeoSeries.from_wkt(spark, ["POINT (0 0)", None, "POINT (1 1)"])
+    assert list(s.isna()) == [False, True, False]
+    assert list(s.notna()) == [True, False, True]
+
+
 def test_type_accessors(spark):
     # reference GeoColumnAccessor family (geoseries.py:224-341)
     s = GeoSeries.from_wkt(

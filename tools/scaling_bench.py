@@ -34,6 +34,7 @@ LEVELS = tuple(int(v) for v in os.environ.get('SCALING_LEVELS', '8,32').split(',
 # codegen regexp chain — the north rule's other half)
 JOB = os.environ.get("SCALING_JOB", "pip")
 N_EXTRACT = int(os.environ.get("SCALING_N_EXTRACT", "4000000"))
+RUNS = int(os.environ.get("SCALING_RUNS", "3"))  # min-of-N per level
 AOI = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0)
 
 
@@ -117,7 +118,7 @@ def run_child(cpus: int) -> None:
 
         job().collect()  # warmup
         runs = []
-        for _ in range(3):
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             total = job().collect()[0]["total"]
             runs.append(time.perf_counter() - t0)
@@ -139,7 +140,7 @@ def run_child(cpus: int) -> None:
     job.count()  # warmup: python workers, codegen, broadcast
     runs = []
     pairs = 0
-    for _ in range(3):
+    for _ in range(RUNS):
         t0 = time.perf_counter()
         pairs = job.count()
         runs.append(time.perf_counter() - t0)

@@ -739,6 +739,31 @@ def q_contains_count(spark, sf_dir):
     ).select("event_id", "n_inside")
 
 
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup over synthetic crawl
+    URLs derived per document (north-rule pages are keyed on url).
+    Messy inputs exercise every rule: case, www, default port,
+    tracking params, fragments, trailing slashes."""
+    from cuspatial_spark.textops.urls import url_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".Example.COM:443/Page/"),
+            (F.col("doc_id") % 200).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&keep="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&fbclid=xyz#section"),
+        ).alias("url"),
+    )
+    return url_dedup(docs, order_col="doc_id").select(
+        "doc_id", "canonical_url"
+    )
+
+
 def q_binary_metadata(spark, sf_dir):
     from cuspatial_spark.multimodal import binary_metadata
 
@@ -1188,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spherical_pip": q_spherical_pip,
         "contains_count": q_contains_count,
         "ann_ivf": q_ann_ivf,
+        "url_canon": q_url_canon,
     }
 
 
@@ -2236,5 +2262,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN ncross % 2 = 1 AND mind2 <> 0.0
                             THEN 1 ELSE 0 END) AS INT) AS n_inside
             FROM per_v GROUP BY event_id
+        """,
+        "url_canon": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.Site' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.Example.COM:443/Page/' || CAST(doc_id % 200 AS VARCHAR)
+                     || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                     || '?utm_source=feed&keep=' || CAST(doc_id % 5 AS VARCHAR)
+                     || '&fbclid=xyz#section' AS url
+              FROM documents
+            ),
+            c AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM docs),
+            parts AS (
+              SELECT doc_id,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM c
+            ),
+            hp AS (
+              SELECT doc_id, scheme,
+                     lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+                     regexp_replace(rest, '^[^/?]*', '') AS pathq
+              FROM parts
+            ),
+            h2 AS (
+              SELECT doc_id, scheme, pathq,
+                     regexp_replace(
+                       CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+                              THEN regexp_replace(hostport, ':443$', '')
+                            WHEN scheme = 'http' AND hostport LIKE '%:80'
+                              THEN regexp_replace(hostport, ':80$', '')
+                            ELSE hostport END,
+                       '^www\.', '') AS host
+              FROM hp
+            ),
+            pq AS (
+              SELECT doc_id, scheme, host,
+                     regexp_extract(pathq, '^([^?]*)', 1) AS path,
+                     regexp_extract(pathq, '\?(.*)$', 1) AS query
+              FROM h2
+            ),
+            filt AS (
+              SELECT doc_id, scheme, host,
+                     CASE WHEN path = '' THEN '/'
+                          WHEN path <> '/' THEN regexp_replace(path, '/$', '')
+                          ELSE path END AS npath,
+                     array_to_string(
+                       list_filter(string_split(query, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$')),
+                       '&') AS newq
+              FROM pq
+            ),
+            canon AS (
+              SELECT doc_id,
+                     scheme || '://' || host || npath
+                     || CASE WHEN newq <> '' THEN '?' || newq ELSE '' END AS canonical_url
+              FROM filt
+            ),
+            ranked AS (
+              SELECT doc_id, canonical_url,
+                     row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+              FROM canon
+            )
+            SELECT doc_id, canonical_url FROM ranked WHERE rn = 1
         """,
     }

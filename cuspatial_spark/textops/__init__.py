@@ -11,3 +11,4 @@ from .analysis import (  # noqa: F401
     quality_score,
     token_count,
 )
+from .urls import canonical_url, url_dedup  # noqa: F401

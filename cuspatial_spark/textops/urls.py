@@ -1,0 +1,94 @@
+"""URL canonicalization + URL-keyed dedup — webtext pipeline ops.
+
+A Common-Crawl-style corpus keys everything on `url` (the north-rule
+input shape: url, warc_ts, html, text, lang), and raw crawl URLs are
+noisy: mixed-case schemes/hosts, default ports, `www.` prefixes,
+tracking parameters, fragments, trailing slashes.  Canonicalization
+is the first dedup stage — it collapses the crawl-noise variants of
+one resource BEFORE any content hashing, at scan speed.
+
+Spark-first: the whole transform is a chain of built-in string /
+regexp / higher-order-array expressions (whole-stage codegen, zero
+shuffles, no Python).  The rules implemented (deliberately simple,
+deterministic, and SQL-replayable for the driver oracle):
+
+- scheme and host lowercase; `www.` prefix dropped;
+- default ports stripped (`:80` for http, `:443` for https);
+- fragment dropped;
+- tracking query params removed (`utm_*`, `fbclid`, `gclid`),
+  remaining params kept IN ORDER (reordering would conflate
+  semantically different URLs on servers that care);
+- empty query dropped; trailing slash removed from non-root paths;
+  empty path becomes `/`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING = r"^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of ``url`` as a Catalyst expression chain."""
+    u = F.regexp_replace(url, r"#.*$", "")  # drop fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).otherwise(hostport)
+    host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING),
+    )
+    newq = F.array_join(params, "&")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url(
+    df: DataFrame, url_col: str = "url", out: str = "canonical_url"
+) -> DataFrame:
+    """Append the canonical URL column (pure codegen, zero shuffles)."""
+    return df.withColumn(out, canonical_url_expr(F.col(url_col)))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str | None = None,
+) -> DataFrame:
+    """One row per canonical URL — the crawl's first dedup stage.
+
+    Keeper = the row with the minimum ``order_col`` (e.g. warc_ts:
+    earliest capture wins; defaults to the url string itself for
+    determinism).  One hash shuffle on the canonical key — the same
+    scale shape as textops.dedup.exact_dedup."""
+    from pyspark.sql import Window
+
+    keyed = canonical_url(df, url_col)
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = Window.partitionBy("canonical_url").orderBy(order)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

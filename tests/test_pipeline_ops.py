@@ -639,3 +639,53 @@ class TestIngestPipeline:
         assert en_only.count() == 6
         plan = en_only._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # gate + tile assign: zero shuffles
+
+
+class TestUrlOps:
+    def test_canonical_url_rules(self, spark):
+        """Each canonicalization rule in isolation + combined."""
+        from cuspatial_spark.textops.urls import canonical_url
+
+        cases = [
+            ("HTTP://Example.COM/a", "http://example.com/a"),
+            ("https://www.example.com:443/a/", "https://example.com/a"),
+            ("http://example.com:80/", "http://example.com/"),
+            ("http://example.com:8080/a", "http://example.com:8080/a"),
+            ("https://example.com/a#frag", "https://example.com/a"),
+            ("https://example.com/a?utm_source=x&b=1&gclid=z", "https://example.com/a?b=1"),
+            ("https://example.com/a?utm_campaign", "https://example.com/a"),
+            ("https://example.com", "https://example.com/"),
+            ("https://example.com/a?b=1&c=2", "https://example.com/a?b=1&c=2"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"url": [c[0] for c in cases]})
+        )
+        out = [r["canonical_url"] for r in canonical_url(df).collect()]
+        assert out == [c[1] for c in cases]
+
+    def test_url_dedup_keeps_earliest(self, spark):
+        from cuspatial_spark.textops.urls import url_dedup
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "url": [
+                "https://WWW.site.com/x?utm_source=a",
+                "https://site.com/x",
+                "https://site.com/y",
+            ],
+            "ts": [2, 1, 3],
+        }))
+        out = url_dedup(df, order_col="ts").orderBy("canonical_url").collect()
+        assert [(r["canonical_url"], r["ts"]) for r in out] == [
+            ("https://site.com/x", 1),
+            ("https://site.com/y", 3),
+        ]
+
+    def test_canonical_url_plan_is_codegen(self, spark):
+        """Zero shuffles, no Python: the plan must be a single
+        whole-stage-codegen project over the scan."""
+        from cuspatial_spark.textops.urls import canonical_url
+
+        df = spark.createDataFrame(pd.DataFrame({"url": ["http://a.com/x"]}))
+        plan = canonical_url(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "MapInPandas" not in plan

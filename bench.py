@@ -92,6 +92,12 @@ HEADLINE = [
     # expansion + min reduce) and geodesic point-in-polygon
     "multipart_distance",
     "spherical_pip",
+    # round 4: contains basic_count kernel path, full-probe IVF ANN,
+    # URL canonicalization + dedup (codegen scan-speed) — totals grow
+    # ~1-2 s vs r3's 17-query set; per-query timings stay comparable
+    "contains_count",
+    "ann_ivf",
+    "url_canon",
 ]
 
 

@@ -179,3 +179,27 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def streaming_url_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming form of textops.urls.url_dedup: keep the first
+    arrival of each CANONICAL url within the watermark horizon — the
+    crawl front-end's dedup stage (tracking params, case, www, default
+    ports, fragments collapse to one key before any content work).
+
+    Same state-size-safe shape as streaming_exact_dedup:
+    dropDuplicatesWithinWatermark on the md5 of the canonical url, so
+    state rows are 16-byte digests bounded by the watermark."""
+    from ..textops.urls import canonical_url_expr
+
+    return (
+        stream.withColumn("__h", F.md5(canonical_url_expr(F.col(url_col))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

@@ -689,3 +689,36 @@ class TestUrlOps:
         plan = canonical_url(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan and "MapInPandas" not in plan
+
+    def test_streaming_url_dedup(self, spark, tmp_path):
+        """Canonical-url streaming dedup: crawl-noise variants of one
+        resource collapse to a single kept row (first arrival)."""
+        from cuspatial_spark.streaming import streaming_url_dedup
+
+        pdf = pd.DataFrame(
+            {
+                "url": [
+                    "https://WWW.site.com/x?utm_source=a",
+                    "https://site.com/x",
+                    "HTTPS://site.com:443/x#frag",
+                    "https://site.com/y",
+                ],
+                "warc_ts": pd.to_datetime([0, 1, 2, 3], unit="s"),
+            }
+        )
+        src = str(tmp_path / "url_dedup_src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp"
+        ).parquet(src)
+        deduped = streaming_url_dedup(stream, watermark="1 minute")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("stream_url_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT url FROM stream_url_dedup").toPandas()
+        assert len(got) == 2  # one per canonical resource (x and y)

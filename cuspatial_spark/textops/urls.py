@@ -55,13 +55,17 @@ def canonical_url_expr(url: Column) -> Column:
     path = F.when(path == "", F.lit("/")).otherwise(
         F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
     )
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
     )
+    # schemeless input has no well-defined host split — pass it
+    # through untouched rather than emit garbage; this also makes the
+    # transform idempotent (canonical output always has a scheme)
+    return F.when(scheme == "", url).otherwise(canonical)
 
 
 def canonical_url(

@@ -722,3 +722,35 @@ class TestUrlOps:
         q.awaitTermination(60)
         got = spark.sql("SELECT url FROM stream_url_dedup").toPandas()
         assert len(got) == 2  # one per canonical resource (x and y)
+
+    def test_canonical_url_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) over a combinatorial
+        sweep of schemes, hosts, ports, paths, queries, and fragments;
+        schemeless input passes through untouched."""
+        import itertools
+
+        from cuspatial_spark.textops.urls import canonical_url
+
+        urls = [
+            f"{s}{h}{p}{path}{q}{frag}"
+            for s, h, p, path, q, frag in itertools.product(
+                ["http://", "HTTPS://", "https://WWW.", ""],
+                ["Example.com", "sub.ex.org"],
+                ["", ":443", ":80", ":8080"],
+                ["", "/", "/A/b/", "/x"],
+                ["", "?utm_source=1", "?a=1&utm_x=2&b=3", "?utm_a&utm_b"],
+                ["", "#frag"],
+            )
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+        once = canonical_url(df).select(
+            F.col("canonical_url").alias("url"), F.col("url").alias("orig")
+        )
+        twice = canonical_url(once)
+        rows = twice.collect()
+        bad = [r for r in rows if r["canonical_url"] != r["url"]]
+        assert not bad, bad[:5]
+        # schemeless inputs are untouched
+        for r in rows:
+            if "://" not in r["orig"]:
+                assert r["url"] == r["orig"]

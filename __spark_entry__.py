@@ -2294,7 +2294,7 @@ def oracle_sql() -> dict[str, str]:
                             WHEN scheme = 'http' AND hostport LIKE '%:80'
                               THEN regexp_replace(hostport, ':80$', '')
                             ELSE hostport END,
-                       '^www\.', '') AS host
+                       '^(www\.)+', '') AS host
               FROM hp
             ),
             pq AS (

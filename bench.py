@@ -201,6 +201,9 @@ def main():
         one_pass(timings)
         gauges.append(_cpu_gauge(int(CPUS)))
         gauge = max(gauge, max(gauges))
+        # fold the re-run window's gauges into best-ever too — a clean
+        # re-run after a throttled first pass must not store a stale low
+        calib = max(calib, gauge)
         contended = bool(calib and min(gauges) < 0.7 * calib)
     timings = {k: round(v, 3) for k, v in timings.items()}
     for name, t in timings.items():

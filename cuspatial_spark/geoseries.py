@@ -100,12 +100,14 @@ class _LocIndexer:
                     raise ValueError("boolean mask length mismatch")
                 pos = np.flatnonzero(arr)
             else:
+                # per-label check: a duplicated present label must not
+                # mask an absent one (a length comparison would)
+                missing = [lab for lab in arr if not (idx == lab).any()]
+                if missing:
+                    raise KeyError(f"labels not in index: {missing}")
                 pos = np.concatenate(
                     [np.flatnonzero(idx == lab) for lab in arr]
                 ) if len(arr) else np.empty(0, dtype=np.int64)
-                if len(pos) < len(arr):
-                    missing = [lab for lab in arr if not (idx == lab).any()]
-                    raise KeyError(f"labels not in index: {missing}")
         else:
             pos = np.flatnonzero(idx == item)
             if len(pos) == 0:
@@ -336,7 +338,22 @@ class GeoSeries:
         """Index-align two series (reference align semantics): both are
         reindexed to the sorted union of their indexes; labels absent
         on a side become missing rows there (predicates answer False,
-        distance answers NaN for those rows)."""
+        distance answers NaN for those rows).
+
+        Duplicate labels are rejected: the positional map is
+        one-slot-per-label, so a duplicated label would silently drop
+        rows (pandas raises on duplicate-axis reindex the same way).
+
+        The reindex round-trips through driver-side geometry objects
+        (to_geoms + from_geopandas) — acceptable because GeoSeries
+        layers are the broadcast-small side of every join by contract;
+        the distributed side never passes through here."""
+        for side, idx in (("left", self.index), ("right", other.index)):
+            if len(np.unique(idx)) != len(idx):
+                raise ValueError(
+                    f"cannot align: {side} index has duplicate labels "
+                    "(the positional map would silently drop rows)"
+                )
         union, pos_a, pos_b = _align_ids(self.index, other.index)
 
         def take(series: "GeoSeries", pos) -> "GeoSeries":
@@ -466,6 +483,12 @@ class GeoSeries:
                 "(align the series first, or pass align=True)"
             )
         none_mask = (lt == NONE) | (rt == NONE)
+        if len(none_mask) == 0:
+            # empty series: empty typed result, not an IndexError
+            typ = "double" if isinstance(none_value, float) else "boolean"
+            return self.spark.createDataFrame(
+                [], schema=f"row_id long, {out_col} {typ}"
+            )
         parts = []
         if none_mask.any():
             none_idx = np.flatnonzero(none_mask)
@@ -525,7 +548,10 @@ class GeoSeries:
                 "(the reference's quadtree PIP shape)"
             )
         # rows missing on either side (e.g. introduced by align) simply
-        # produce no pairs; indices always refer to ORIGINAL positions
+        # produce no pairs; indices refer to row positions of the
+        # frames THIS function receives — the caller's original
+        # positions with align=False, the sorted-union aligned
+        # positions when align=True reindexed first
         lhs_valid = np.flatnonzero(
             np.asarray(self.layers.feature_types) == POLYGON
         )
@@ -607,10 +633,10 @@ class GeoSeries:
         missing = np.setdiff1d(np.arange(n), valid)
         if len(missing):
             mpdf = pd.DataFrame({"row_id": missing})
-            # missing rows: count is 0 -> none=True, any/all=False, count=0
-            mpdf[out_col] = (
-                0 if mode == "basic_count" else (mode == "basic_none")
-            )
+            # missing rows answer False for EVERY boolean mode (the
+            # module-wide missing-geometry semantics, same as the
+            # full-mode path's none_value=False) and 0 for basic_count
+            mpdf[out_col] = 0 if mode == "basic_count" else False
             out = out.unionByName(self.spark.createDataFrame(mpdf))
         return out
 

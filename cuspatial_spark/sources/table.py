@@ -50,11 +50,20 @@ class TiledTable:
         return os.path.join(self.manifest_dir, f"v{version:05d}.json")
 
     def current_version(self) -> int:
-        versions = [
-            int(f[1:6])
-            for f in os.listdir(self.manifest_dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
+        versions = []
+        for f in os.listdir(self.manifest_dir):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            path = os.path.join(self.manifest_dir, f)
+            try:
+                # zero-size = a crashed fallback publish mid-claim, not
+                # a committed version; skipping it lets the next
+                # commit() re-claim and adopt it (see commit fallback)
+                if os.path.getsize(path) == 0:
+                    continue
+            except OSError:
+                continue
+            versions.append(int(f[1:6]))
         return max(versions, default=0)
 
     def history(self) -> list[dict]:
@@ -76,7 +85,12 @@ class TiledTable:
                     return json.load(f)
             except (json.JSONDecodeError, ValueError):
                 time.sleep(0.05)
-        raise RuntimeError(f"manifest {path} unreadable (torn write?)")
+        raise RuntimeError(
+            f"manifest {path} unreadable after retries — likely a "
+            "crashed fallback publish (empty/torn file).  If the file "
+            "is empty and no committer is live, the next commit() "
+            "adopts and rewrites it; deleting the file also recovers."
+        )
 
     # -------------------------------------------------------------- commit
 
@@ -169,6 +183,25 @@ class TiledTable:
                 try:
                     fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 except FileExistsError:
+                    # a crashed fallback publish (killed between the
+                    # O_EXCL claim and the content write) leaves an
+                    # EMPTY manifest that would otherwise wedge the
+                    # table forever; adopt it via atomic replace once
+                    # it is old enough that no live writer owns it
+                    try:
+                        st = os.stat(final)
+                        import time as _time
+
+                        if st.st_size == 0 and _time.time() - st.st_mtime > 10.0:
+                            os.replace(tmp, final)
+                            return version
+                        if st.st_size == 0:
+                            # a LIVE fallback writer owns this claim:
+                            # wait briefly rather than spin on the same
+                            # version (current_version skips empties)
+                            _time.sleep(0.05)
+                    except OSError:
+                        pass
                     os.unlink(tmp)
                     version = self.current_version() + 1
                     continue

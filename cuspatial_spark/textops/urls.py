@@ -43,7 +43,7 @@ def canonical_url_expr(url: Column) -> Column:
         (scheme == "http") & hostport.endswith(":80"),
         F.regexp_replace(hostport, r":80$", ""),
     ).otherwise(hostport)
-    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"^(www\.)+", "")
     pathq = F.regexp_replace(rest, r"^[^/?]*", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)

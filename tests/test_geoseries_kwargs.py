@@ -306,3 +306,49 @@ def test_empty_multipoint_never_equals_point(spark):
         for r in multipoint_equals_point(df, mps).orderBy("multipoint_index").collect()
     ]
     assert out == [False, True]
+
+
+# -------------------------------------------- review-pass regressions
+
+
+def test_align_rejects_duplicate_labels(spark):
+    a = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (1 1)"], index=[0, 0])
+    b = GeoSeries.from_wkt(spark, ["POINT (0 0)", "POINT (1 1)"], index=[0, 1])
+    with pytest.raises(ValueError, match="duplicate"):
+        a.align(b)
+    with pytest.raises(ValueError, match="duplicate"):
+        a.distance(b)  # align=True default routes through align
+
+
+def test_loc_missing_label_not_masked_by_duplicate(spark):
+    s = GeoSeries.from_wkt(
+        spark, ["POINT (0 0)", "POINT (1 1)", "POINT (2 2)"], index=[10, 10, 20]
+    )
+    with pytest.raises(KeyError, match="99"):
+        s.loc[[10, 99]]
+    assert len(s.loc[[10]]) == 2  # duplicated label returns both rows
+
+
+def test_empty_series_pairwise_returns_empty(spark):
+    a = GeoSeries.from_wkt(spark, [])
+    b = GeoSeries.from_wkt(spark, [])
+    out = a.distance(b)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["row_id", "distance"]
+    p = a.intersects(b)
+    assert p.count() == 0
+
+
+def test_contains_mode_missing_rows_false(spark):
+    # a label present only on the polys side pairs with a missing rhs:
+    # EVERY boolean mode answers False for it (basic_count answers 0)
+    polys = GeoSeries.from_wkt(spark, [SQ, SQ], index=[0, 1])
+    mps = GeoSeries.from_wkt(spark, ["MULTIPOINT ((1 1), (2 2))"], index=[0])
+    for mode, expect in [
+        ("basic_none", [False, False]),
+        ("basic_any", [True, False]),
+        ("basic_all", [True, False]),
+        ("basic_count", [2, 0]),
+    ]:
+        got = _vals(polys.contains(mps, align=True, mode=mode), "contains")
+        assert got == expect, (mode, got)

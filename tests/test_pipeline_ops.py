@@ -569,6 +569,34 @@ class TestTiledTable:
         assert t.commit(df, "x", "y", 0, 8, 0, 8) == 3
         assert json.load(open(t._manifest_path(2))) == winner
 
+    def test_crashed_fallback_publish_is_adopted(self, spark, tmp_path, monkeypatch):
+        """A zero-size manifest left by a committer killed between the
+        O_EXCL claim and the content write must not wedge the table:
+        current_version skips it and the next commit adopts the slot."""
+        import errno
+        import os
+        import time as _t
+        from cuspatial_spark.sources import table as tbl
+
+        t = tbl.TiledTable(str(tmp_path / "table5"))
+        df = spark.createDataFrame(pd.DataFrame({
+            "point_id": [0, 1], "x": [1.0, 2.0], "y": [1.0, 2.0]}))
+        t.commit(df, "x", "y", 0, 8, 0, 8)
+        # simulate the crash: an empty claimed manifest for v2, old
+        crashed = t._manifest_path(2)
+        open(crashed, "w").close()
+        old = _t.time() - 60
+        os.utime(crashed, (old, old))
+        assert t.current_version() == 1  # empty claim is not a version
+        assert t.read(spark).count() == 2  # table stays readable
+
+        def no_link(src_, dst):
+            raise OSError(errno.EPERM, "no hard links")
+
+        monkeypatch.setattr(tbl.os, "link", no_link)
+        assert t.commit(df, "x", "y", 0, 8, 0, 8) == 2  # adopted the slot
+        assert t.history()[1]["rows"] == 2
+
 
 class TestIngestPipeline:
     def test_streaming_ingest_matches_batch(self, spark, tmp_path):
@@ -656,6 +684,7 @@ class TestUrlOps:
             ("https://example.com/a?utm_campaign", "https://example.com/a"),
             ("https://example.com", "https://example.com/"),
             ("https://example.com/a?b=1&c=2", "https://example.com/a?b=1&c=2"),
+            ("https://www.www.example.com/a", "https://example.com/a"),
         ]
         df = spark.createDataFrame(
             pd.DataFrame({"url": [c[0] for c in cases]})

@@ -326,6 +326,40 @@ def q_pip_join(spark, sf_dir):
     ).select("event_id", "polygon_id")
 
 
+def q_pip_shuffle(spark, sf_dir):
+    """The SALTED SHUFFLE scale path of the flagship join (the plan
+    for non-broadcastable polygon layers, plans/shuffle_join.py):
+    polygon features travel as DataFrame rows exploded to covered
+    tiles, the join shuffles on (tile, salt), and the refine rebuilds
+    per-batch polygon tables vectorized.  Must produce the identical
+    pair set as the broadcast pip_join — same oracle."""
+    import numpy as np
+
+    import pandas as pd
+
+    from cuspatial_spark.plans.shuffle_join import point_in_polygon_join_shuffle
+
+    po = np.asarray(POLY_OFFSETS)
+    ro = np.asarray(RING_OFFSETS)
+    xs, ys = np.asarray(POLY_X), np.asarray(POLY_Y)
+    rows = []
+    for p in range(len(po) - 1):
+        vs, ve = ro[po[p]], ro[po[p + 1]]
+        seg_xy = np.empty(2 * (ve - vs))
+        seg_xy[::2] = xs[vs:ve]
+        seg_xy[1::2] = ys[vs:ve]
+        offs = [int(r - vs) for r in ro[po[p]:po[p + 1] + 1]]
+        rows.append((p, offs, seg_xy.tolist()))
+    poly_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["polygon_id", "ring_offsets", "xy"])
+    )
+    pts = _points(spark, sf_dir).select("event_id", "x", "y")
+    return point_in_polygon_join_shuffle(
+        pts, poly_df, **AOI, max_depth=MAX_DEPTH, tile_level=TILE_LEVEL,
+        keep_columns=["event_id"], salt=4,
+    ).select("event_id", "polygon_id")
+
+
 def q_pip_bits(spark, sf_dir):
     from cuspatial_spark.operators import point_in_polygon
 
@@ -1166,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_window": q_spatial_window,
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
+        "pip_shuffle": q_pip_shuffle,
         "pip_bits": q_pip_bits,
         "nearest_linestring": q_nearest_linestring,
         "haversine": q_haversine,
@@ -1558,6 +1593,13 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
         """,
         "pip_join": f"""
+            WITH {pts}, {segs}
+            SELECT p.event_id, s.poly_id AS polygon_id
+            FROM pts p, segs s
+            GROUP BY p.event_id, s.poly_id, p.x, p.y
+            HAVING sum({_crossing_sql()}) % 2 = 1
+        """,
+        "pip_shuffle": f"""
             WITH {pts}, {segs}
             SELECT p.event_id, s.poly_id AS polygon_id
             FROM pts p, segs s

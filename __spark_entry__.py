@@ -360,6 +360,22 @@ def q_pip_shuffle(spark, sf_dir):
     ).select("event_id", "polygon_id")
 
 
+def q_pip_edge_exact(spark, sf_dir):
+    """The flagship join forced onto the Arrow KERNEL refine
+    (edge_exact=True): the reference's ULP on-edge exclusion exactly
+    (is_point_in_polygon.cuh edge rule).  The ray-cast SQL oracle
+    replicates the kernel's crossing formula operation-for-operation,
+    so this path must hash-match it — the golden-parity plan now has
+    its own hard driver signal alongside the default JVM path."""
+    from cuspatial_spark.plans import point_in_polygon_join
+
+    pts = _points(spark, sf_dir).select("event_id", "x", "y")
+    return point_in_polygon_join(
+        pts, _polygons(), **AOI, max_depth=MAX_DEPTH, tile_level=TILE_LEVEL,
+        keep_columns=["event_id"], edge_exact=True,
+    ).select("event_id", "polygon_id")
+
+
 def q_pip_bits(spark, sf_dir):
     from cuspatial_spark.operators import point_in_polygon
 
@@ -1201,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
         "pip_shuffle": q_pip_shuffle,
+        "pip_edge_exact": q_pip_edge_exact,
         "pip_bits": q_pip_bits,
         "nearest_linestring": q_nearest_linestring,
         "haversine": q_haversine,
@@ -1600,6 +1617,13 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum({_crossing_sql()}) % 2 = 1
         """,
         "pip_shuffle": f"""
+            WITH {pts}, {segs}
+            SELECT p.event_id, s.poly_id AS polygon_id
+            FROM pts p, segs s
+            GROUP BY p.event_id, s.poly_id, p.x, p.y
+            HAVING sum({_crossing_sql()}) % 2 = 1
+        """,
+        "pip_edge_exact": f"""
             WITH {pts}, {segs}
             SELECT p.event_id, s.poly_id AS polygon_id
             FROM pts p, segs s

@@ -476,6 +476,19 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_canonical(spark, sf_dir):
+    """LSH canonical mode — the hot-bucket-capped 100-TB shape: each
+    doc pairs only with its bucket's MINIMUM doc id (O(m) star pairs
+    per bucket instead of m^2 allpairs; connected components
+    identical).  Oracle replays the banding + per-bucket min in SQL."""
+    from cuspatial_spark.textops import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=4, band_size=2, shingle_k=8,
+        mode="canonical",
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: LSH candidate pairs -> distributed connected
     components -> (doc_id, canonical_id).  The oracle replays the same
@@ -1229,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
+        "lsh_canonical": q_lsh_canonical,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
@@ -1736,6 +1750,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
+        """,
+        "lsh_canonical": f"""
+            WITH sig AS ({_minhash_sql(4)}),
+            bands AS (
+              SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) AS bucket FROM sig
+            ),
+            star AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS id_a
+              FROM bands
+            )
+            SELECT DISTINCT id_a, doc_id AS id_b FROM star WHERE id_a < doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE sig AS ({_minhash_sql(4)}),

@@ -655,6 +655,23 @@ def q_cosine_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
+def q_cosine_ivf(spark, sf_dir):
+    """IVF-bucketed cosine near-dup with nprobe = n_centroids: probing
+    every bucket makes the candidate set complete, so the bucket-join
+    scale path must reproduce the exact all-pairs result — same oracle
+    as cosine_near_dup.  Deterministic fixed centroid matrix."""
+    import numpy as np
+
+    from cuspatial_spark.similarity import cosine_near_dup_pairs
+
+    cts = np.array(
+        [[((i * 13 + j * 7) % 21 - 10) / 10.0 for j in range(64)] for i in range(8)]
+    )
+    emb = _emb(spark, sf_dir)
+    out = cosine_near_dup_pairs(emb, threshold=0.4, centroids=cts, nprobe=8)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
 def q_point_polygon_distance(spark, sf_dir):
     from cuspatial_spark.operators.pairwise import pairwise_point_polygon_distance
 
@@ -1251,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        "cosine_ivf": q_cosine_ivf,
         "binary_metadata": q_binary_metadata,
         "point_polygon_distance": q_point_polygon_distance,
         "nearest_points": q_nearest_points,
@@ -1880,6 +1898,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "cosine_near_dup": f"""
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ({_dot_sql('a.embedding', 'b.embedding')})
+                     / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) AS s
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(s, 6) AS score
+            FROM scored WHERE s >= 0.4
+        """,
+        "cosine_ivf": f"""
             WITH scored AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      ({_dot_sql('a.embedding', 'b.embedding')})

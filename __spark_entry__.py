@@ -395,6 +395,22 @@ def q_nearest_linestring(spark, sf_dir):
     ).select("event_id", "linestring_id", "distance")
 
 
+def q_nearest_progressive(spark, sf_dir):
+    """nearest_linestring with progressive radius widening FORCED
+    (plans/tile_join.py progressive rounds — the 100-TB candidate
+    bound).  Widening is semantics-preserving: a point resolves in
+    round r only when its round-minimum is provably global, so the
+    output must hash-match the single-shot plan's oracle exactly."""
+    from cuspatial_spark.plans import point_to_nearest_linestring_join
+
+    pts = _points(spark, sf_dir).select("event_id", "x", "y")
+    return point_to_nearest_linestring_join(
+        pts, _linestrings(), expansion_radius=16.0, **AOI,
+        max_depth=MAX_DEPTH, tile_level=3, keep_columns=["event_id"],
+        progressive=True,
+    ).select("event_id", "linestring_id", "distance")
+
+
 def q_haversine(spark, sf_dir):
     from cuspatial_spark.operators import haversine_distance
 
@@ -1250,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_edge_exact": q_pip_edge_exact,
         "pip_bits": q_pip_bits,
         "nearest_linestring": q_nearest_linestring,
+        "nearest_progressive": q_nearest_progressive,
         "haversine": q_haversine,
         "sinusoidal": q_sinusoidal,
         "utm": q_utm,
@@ -1679,6 +1696,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.event_id
         """,
         "nearest_linestring": f"""
+            WITH {pts}, {lsegs},
+            d AS (
+              SELECT p.event_id, s.line_id,
+                     SQRT(min({_seg_dist_sql()})) AS dist
+              FROM pts p, lsegs s
+              GROUP BY p.event_id, s.line_id
+            ),
+            ranked AS (
+              SELECT event_id, line_id, dist,
+                     row_number() OVER (PARTITION BY event_id ORDER BY dist, line_id) AS rn
+              FROM d
+            )
+            SELECT event_id, line_id AS linestring_id, dist AS distance
+            FROM ranked WHERE rn = 1
+        """,
+        "nearest_progressive": f"""
             WITH {pts}, {lsegs},
             d AS (
               SELECT p.event_id, s.line_id,

@@ -121,3 +121,18 @@ class GeoDataFrame:
         for name, gs in self._geometry.items():
             out[name] = gs.to_wkt()
         return out
+
+    def to_arrow(self):
+        """pyarrow.Table: payload columns as plain Arrow arrays,
+        geometry columns as GeoArrow dense unions (the reference's
+        GeoColumn.to_arrow layout per column, geocolumn.py:68-78)."""
+        import pyarrow as pa
+
+        names, arrays = [], []
+        for name, values in self._payload.items():
+            names.append(name)
+            arrays.append(pa.array(values))
+        for name, gs in self._geometry.items():
+            names.append(name)
+            arrays.append(gs.to_arrow())
+        return pa.Table.from_arrays(arrays, names=names)

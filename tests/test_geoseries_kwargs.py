@@ -352,3 +352,18 @@ def test_contains_mode_missing_rows_false(spark):
     ]:
         got = _vals(polys.contains(mps, align=True, mode=mode), "contains")
         assert got == expect, (mode, got)
+
+
+def test_geodataframe_to_arrow(spark):
+    import pyarrow as pa
+
+    from cuspatial_spark.geodataframe import GeoDataFrame
+
+    geom = GeoSeries.from_wkt(spark, ["POINT (1 2)", "LINESTRING (0 0, 1 1)"])
+    gdf = GeoDataFrame(spark, {"name": ["a", "b"], "geometry": geom})
+    t = gdf.to_arrow()
+    assert isinstance(t, pa.Table)
+    assert t.column_names == ["name", "geometry"]
+    assert t.column("name").to_pylist() == ["a", "b"]
+    back = GeoSeries.from_arrow(spark, t.column("geometry").combine_chunks())
+    assert back.to_wkt() == geom.to_wkt()

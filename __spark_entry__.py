@@ -411,6 +411,28 @@ def q_nearest_progressive(spark, sf_dir):
     ).select("event_id", "linestring_id", "distance")
 
 
+def q_quadtree(spark, sf_dir):
+    """The GLOBAL quadtree node table (op #1) over the events geotags:
+    one distributed groupBy(full-depth Morton key) count, node table
+    built from the histogram (operators/indexing.py:95).  The oracle
+    re-derives the identical 5-column table in SQL: per-level count
+    rollups, top-down internal pruning, leaf offsets as an exclusive
+    scan over flattened-key order, internal offsets as an exclusive
+    scan over (level, key) table order seeded with the level-0 node
+    count — the same construction as kernels/quadtree.py:99-192."""
+    from cuspatial_spark.operators.indexing import quadtree_on_points_global
+
+    pts = _points(spark, sf_dir).select("x", "y")
+    pdf = quadtree_on_points_global(
+        pts, 0.0, 8.0, 0.0, 8.0, scale=0.0, max_depth=4, max_size=60
+    )
+    pdf = pdf.astype(
+        {"key": "int64", "level": "int64", "is_internal_node": "bool",
+         "length": "int64", "offset": "int64"}
+    )
+    return spark.createDataFrame(pdf)
+
+
 def q_haversine(spark, sf_dir):
     from cuspatial_spark.operators import haversine_distance
 
@@ -1267,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_bits": q_pip_bits,
         "nearest_linestring": q_nearest_linestring,
         "nearest_progressive": q_nearest_progressive,
+        "quadtree": q_quadtree,
         "haversine": q_haversine,
         "sinusoidal": q_sinusoidal,
         "utm": q_utm,
@@ -1710,6 +1733,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, line_id AS linestring_id, dist AS distance
             FROM ranked WHERE rn = 1
+        """,
+        "quadtree": f"""
+            WITH {pts},
+            cells AS (
+              SELECT {_morton_sql('x', 'y', 8.0 / 18.0, 4)} AS key,
+                     COUNT(*) AS pcount
+              FROM pts GROUP BY 1
+            ),
+            l3 AS (SELECT key, pcount, 0 AS ccount FROM cells),
+            l2 AS (SELECT key >> 2 AS key, SUM(pcount) AS pcount, COUNT(*) AS ccount FROM l3 GROUP BY key >> 2),
+            l1 AS (SELECT key >> 2 AS key, SUM(pcount) AS pcount, COUNT(*) AS ccount FROM l2 GROUP BY key >> 2),
+            l0 AS (SELECT key >> 2 AS key, SUM(pcount) AS pcount, COUNT(*) AS ccount FROM l1 GROUP BY key >> 2),
+            k0 AS (SELECT key, pcount, ccount, 0 AS level, pcount > 60 AS internal FROM l0),
+            k1 AS (SELECT t.key, t.pcount, t.ccount, 1 AS level, t.pcount > 60 AS internal
+                   FROM l1 t JOIN k0 p ON (t.key >> 2) = p.key AND p.internal),
+            k2 AS (SELECT t.key, t.pcount, t.ccount, 2 AS level, t.pcount > 60 AS internal
+                   FROM l2 t JOIN k1 p ON (t.key >> 2) = p.key AND p.internal),
+            k3 AS (SELECT t.key, t.pcount, t.ccount, 3 AS level, FALSE AS internal
+                   FROM l3 t JOIN k2 p ON (t.key >> 2) = p.key AND p.internal),
+            nodes AS (
+              SELECT * FROM k0 UNION ALL SELECT * FROM k1
+              UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3
+            ),
+            leafoff AS (
+              SELECT key, level,
+                     COALESCE(SUM(pcount) OVER (
+                       ORDER BY key << (2 * (3 - level))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM nodes WHERE NOT internal
+            ),
+            tord AS (
+              SELECT key, level, pcount, ccount, internal,
+                     COALESCE(SUM(CASE WHEN internal THEN ccount ELSE 0 END) OVER (
+                       ORDER BY level, key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM nodes
+            )
+            SELECT t.key, t.level, t.internal AS is_internal_node,
+                   CAST(CASE WHEN t.internal THEN t.ccount ELSE t.pcount END AS BIGINT) AS length,
+                   CAST(CASE WHEN t.internal
+                        THEN (SELECT COUNT(*) FROM k0) + t.cum
+                        ELSE lo.off END AS BIGINT) AS offset
+            FROM tord t
+            LEFT JOIN leafoff lo ON t.key = lo.key AND t.level = lo.level
         """,
         "nearest_progressive": f"""
             WITH {pts}, {lsegs},

@@ -229,6 +229,18 @@ def _segments_values(offsets=None) -> str:
     return ",\n".join(rows)
 
 
+def _poly_bbox_values() -> str:
+    """(bbox_id, minx, miny, maxx, maxy) of the fixture polygon layer,
+    embedded with full-precision repr (identical arrays feed the
+    kernel)."""
+    minx, miny, maxx, maxy = _polygons().bounding_boxes()
+    return ",\n".join(
+        f"({i}, CAST({minx[i]!r} AS DOUBLE), CAST({miny[i]!r} AS DOUBLE), "
+        f"CAST({maxx[i]!r} AS DOUBLE), CAST({maxy[i]!r} AS DOUBLE))"
+        for i in range(len(minx))
+    )
+
+
 def _mode_multipoint_values() -> str:
     """(mp_id, px, py) vertex rows of the _mode_multipoints fixture."""
     mps = _mode_multipoints()
@@ -431,6 +443,46 @@ def q_quadtree(spark, sf_dir):
          "length": "int64", "offset": "int64"}
     )
     return spark.createDataFrame(pdf)
+
+
+def q_quadtree_bbox_join(spark, sf_dir):
+    """Filter phase of the spatial join (op #5): the global quadtree's
+    leaves BFS-matched against the fixture polygon bboxes
+    (kernels/quadtree.py join_quadtree_and_bounding_boxes).  Because a
+    leaf rectangle nests exactly inside its ancestors (power-of-two
+    scalings are exact in f64), the BFS prune never removes a leaf
+    whose own rectangle overlaps — so the oracle is the closed form:
+    every (bbox, leaf) rectangle-overlap pair, with the kernel's exact
+    strict comparison chain and node positions in (level, key) table
+    order."""
+    import pandas as pd
+
+    from cuspatial_spark.kernels.quadtree import (
+        Quadtree,
+        join_quadtree_and_bounding_boxes,
+    )
+    from cuspatial_spark.operators.indexing import quadtree_on_points_global
+
+    pts = _points(spark, sf_dir).select("x", "y")
+    pdf = quadtree_on_points_global(
+        pts, 0.0, 8.0, 0.0, 8.0, scale=0.0, max_depth=4, max_size=60
+    )
+    qt = Quadtree(
+        key=pdf["key"].to_numpy(np.uint32),
+        level=pdf["level"].to_numpy(np.uint8),
+        is_internal_node=pdf["is_internal_node"].to_numpy(bool),
+        length=pdf["length"].to_numpy(np.uint32),
+        offset=pdf["offset"].to_numpy(np.uint32),
+    )
+    minx, miny, maxx, maxy = _polygons().bounding_boxes()
+    bb, qq = join_quadtree_and_bounding_boxes(
+        qt, minx, miny, maxx, maxy, 0.0, 8.0, 0.0, 8.0, 0.0, 4
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"bbox_offset": bb.astype("int64"), "quad_offset": qq.astype("int64")}
+        )
+    )
 
 
 def q_haversine(spark, sf_dir):
@@ -1290,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_linestring": q_nearest_linestring,
         "nearest_progressive": q_nearest_progressive,
         "quadtree": q_quadtree,
+        "quadtree_bbox_join": q_quadtree_bbox_join,
         "haversine": q_haversine,
         "sinusoidal": q_sinusoidal,
         "utm": q_utm,
@@ -1777,6 +1830,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lo.off END AS BIGINT) AS offset
             FROM tord t
             LEFT JOIN leafoff lo ON t.key = lo.key AND t.level = lo.level
+        """,
+        "quadtree_bbox_join": f"""
+            WITH {pts},
+            cells AS (
+              SELECT {_morton_sql('x', 'y', 8.0 / 18.0, 4)} AS key,
+                     COUNT(*) AS pcount
+              FROM pts GROUP BY 1
+            ),
+            l3 AS (SELECT key, pcount, 0 AS ccount FROM cells),
+            l2 AS (SELECT key >> 2 AS key, SUM(pcount) AS pcount, COUNT(*) AS ccount FROM l3 GROUP BY key >> 2),
+            l1 AS (SELECT key >> 2 AS key, SUM(pcount) AS pcount, COUNT(*) AS ccount FROM l2 GROUP BY key >> 2),
+            l0 AS (SELECT key >> 2 AS key, SUM(pcount) AS pcount, COUNT(*) AS ccount FROM l1 GROUP BY key >> 2),
+            k0 AS (SELECT key, pcount, ccount, 0 AS level, pcount > 60 AS internal FROM l0),
+            k1 AS (SELECT t.key, t.pcount, t.ccount, 1 AS level, t.pcount > 60 AS internal
+                   FROM l1 t JOIN k0 p ON (t.key >> 2) = p.key AND p.internal),
+            k2 AS (SELECT t.key, t.pcount, t.ccount, 2 AS level, t.pcount > 60 AS internal
+                   FROM l2 t JOIN k1 p ON (t.key >> 2) = p.key AND p.internal),
+            k3 AS (SELECT t.key, t.pcount, t.ccount, 3 AS level, FALSE AS internal
+                   FROM l3 t JOIN k2 p ON (t.key >> 2) = p.key AND p.internal),
+            nodes AS (
+              SELECT * FROM k0 UNION ALL SELECT * FROM k1
+              UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3
+            ),
+            pos AS (
+              SELECT key, level, internal,
+                     row_number() OVER (ORDER BY level, key) - 1 AS quad_offset
+              FROM nodes
+            ),
+            leaves AS (
+              SELECT t.quad_offset,
+                     CAST((((t.key) & 1) | (((t.key) >> 1) & 2) | (((t.key) >> 2) & 4) | (((t.key) >> 3) & 8)) AS DOUBLE) AS kx, CAST((((t.key >> 1) & 1) | (((t.key >> 1) >> 1) & 2) | (((t.key >> 1) >> 2) & 4) | (((t.key >> 1) >> 3) & 8)) AS DOUBLE) AS ky,
+                     (0.4444444444444444 * CAST(1 << (3 - t.level) AS DOUBLE)) AS ls
+              FROM pos t WHERE NOT t.internal
+            ),
+            bbs(bbox_offset, bminx, bminy, bmaxx, bmaxy) AS (VALUES {_poly_bbox_values()})
+            SELECT b.bbox_offset, l.quad_offset
+            FROM leaves l CROSS JOIN bbs b
+            WHERE NOT (
+              (0.0 + l.kx * l.ls) > b.bmaxx OR (0.0 + (l.kx + 1) * l.ls) < b.bminx
+              OR (0.0 + l.ky * l.ls) > b.bmaxy OR (0.0 + (l.ky + 1) * l.ls) < b.bminy
+            )
         """,
         "nearest_progressive": f"""
             WITH {pts}, {lsegs},

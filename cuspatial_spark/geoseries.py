@@ -232,6 +232,109 @@ class GeoSeries:
 
         return cls(spark, _fa(union), index=index)
 
+    # --------------------------- flat-buffer constructors (reference
+    # geoseries.py:670-825 argument shapes, series-level)
+
+    @staticmethod
+    def _empty_layers():
+        from .geometry import (
+            LinestringArrays,
+            MultipointArrays,
+            PolygonArrays,
+        )
+
+        return (
+            MultipointArrays([0], [], []),
+            LinestringArrays([0], [], []),
+            PolygonArrays([0], [0], [], []),
+        )
+
+    @classmethod
+    def from_points_xy(cls, spark: SparkSession, points_xy, index=None) -> "GeoSeries":
+        """POINT series from interleaved xy (reference :670-688)."""
+        xy = np.asarray(points_xy, dtype=np.float64)
+        n = len(xy) // 2
+        mp, ls, pg = cls._empty_layers()
+        layers = GeoLayers(
+            feature_types=np.full(n, POINT, dtype=np.int8),
+            union_offsets=np.arange(n),
+            point_x=xy[0::2].copy(),
+            point_y=xy[1::2].copy(),
+            multipoints=mp, linestrings=ls, polygons=pg,
+        )
+        return cls(spark, layers, index=index)
+
+    @classmethod
+    def from_multipoints_xy(
+        cls, spark: SparkSession, multipoints_xy, geometry_offset, index=None
+    ) -> "GeoSeries":
+        """MULTIPOINT series from interleaved xy + per-geometry point
+        offsets (reference :691-727)."""
+        from .geometry import MultipointArrays
+
+        xy = np.asarray(multipoints_xy, dtype=np.float64)
+        _, ls, pg = cls._empty_layers()
+        n = len(geometry_offset) - 1
+        layers = GeoLayers(
+            feature_types=np.full(n, MULTIPOINT, dtype=np.int8),
+            union_offsets=np.arange(n),
+            point_x=np.empty(0), point_y=np.empty(0),
+            multipoints=MultipointArrays(
+                geometry_offset, xy[0::2].copy(), xy[1::2].copy()
+            ),
+            linestrings=ls, polygons=pg,
+        )
+        return cls(spark, layers, index=index)
+
+    @classmethod
+    def from_linestrings_xy(
+        cls, spark: SparkSession, linestrings_xy, part_offset, geometry_offset,
+        index=None,
+    ) -> "GeoSeries":
+        """(MULTI)LINESTRING series from interleaved xy + part/geometry
+        offsets (reference :729-774)."""
+        from .geometry import LinestringArrays
+
+        xy = np.asarray(linestrings_xy, dtype=np.float64)
+        mp, _, pg = cls._empty_layers()
+        n = len(geometry_offset) - 1
+        layers = GeoLayers(
+            feature_types=np.full(n, LINESTRING, dtype=np.int8),
+            union_offsets=np.arange(n),
+            point_x=np.empty(0), point_y=np.empty(0),
+            multipoints=mp,
+            linestrings=LinestringArrays(
+                part_offset, xy[0::2].copy(), xy[1::2].copy()
+            ),
+            polygons=pg,
+            ls_geom_offsets=np.asarray(geometry_offset, dtype=np.int64),
+        )
+        return cls(spark, layers, index=index)
+
+    @classmethod
+    def from_polygons_xy(
+        cls, spark: SparkSession, polygons_xy, ring_offset, part_offset,
+        geometry_offset, index=None,
+    ) -> "GeoSeries":
+        """(MULTI)POLYGON series from interleaved xy + ring/part/
+        geometry offsets (reference :776-825)."""
+        from .geometry import PolygonArrays
+
+        xy = np.asarray(polygons_xy, dtype=np.float64)
+        mp, ls, _ = cls._empty_layers()
+        n = len(geometry_offset) - 1
+        layers = GeoLayers(
+            feature_types=np.full(n, POLYGON, dtype=np.int8),
+            union_offsets=np.arange(n),
+            point_x=np.empty(0), point_y=np.empty(0),
+            multipoints=mp, linestrings=ls,
+            polygons=PolygonArrays(
+                part_offset, ring_offset, xy[0::2].copy(), xy[1::2].copy()
+            ),
+            pg_geom_offsets=np.asarray(geometry_offset, dtype=np.int64),
+        )
+        return cls(spark, layers, index=index)
+
     # ---------------------------------------------------------- basics
 
     def __len__(self):
@@ -258,6 +361,58 @@ class GeoSeries:
                 "or Polygons to return point indices."
             )
         return np.repeat(self.index, self.layers.sizes())
+
+    @property
+    def feature_types(self) -> np.ndarray:
+        """Per-row Feature_Enum codes (reference geoseries.py:113-115)."""
+        return np.asarray(self.layers.feature_types)
+
+    @property
+    def type(self):
+        """Per-row type-name strings (reference geoseries.py:117-128;
+        same spellings, incl. 'Linestring')."""
+        names = {
+            NONE: "None", POINT: "Point", MULTIPOINT: "MultiPoint",
+            LINESTRING: "Linestring", POLYGON: "Polygon",
+        }
+        return pd.Series(
+            [names[int(t)] for t in self.layers.feature_types],
+            index=self.index,
+        )
+
+    @property
+    def column_type(self) -> str:
+        """Single-kind tag or 'mixed' (reference ColumnType enum,
+        geoseries.py:130-145 via contains_only_*)."""
+        return self.kind
+
+    def reset_index(self, drop: bool = False):
+        """Reference geoseries.py:933-1007: with drop=True returns a
+        GeoSeries reindexed 0..n-1; with drop=False the old index
+        becomes an 'index' payload column of a GeoDataFrame."""
+        fresh = GeoSeries(self.spark, self.layers)
+        if drop:
+            return fresh
+        from .geodataframe import GeoDataFrame
+
+        return GeoDataFrame(
+            self.spark, {"index": list(self.index), "geometry": fresh}
+        )
+
+    def to_pandas(self) -> pd.Series:
+        """pandas Series of (shapely-protocol) geometry objects,
+        carrying the index (reference geoseries.py:465)."""
+        return pd.Series(self.to_geoms(), index=self.index)
+
+    def to_shapely(self) -> pd.Series:
+        """pandas Series of REAL shapely geometries (requires shapely;
+        reference geoseries.py:509)."""
+        from shapely import wkt as _wkt
+
+        return pd.Series(
+            [None if w is None else _wkt.loads(w) for w in to_wkt(self.layers)],
+            index=self.index,
+        )
 
     def isna(self) -> np.ndarray:
         """Per-row missing-geometry mask (reference geoseries.py:

@@ -367,3 +367,43 @@ def test_geodataframe_to_arrow(spark):
     assert t.column("name").to_pylist() == ["a", "b"]
     back = GeoSeries.from_arrow(spark, t.column("geometry").combine_chunks())
     assert back.to_wkt() == geom.to_wkt()
+
+
+def test_reference_surface_parity_extras(spark):
+    """feature_types/type/column_type, reset_index, to_pandas, and the
+    series-level from_*_xy constructors (reference geoseries.py
+    :113-145, :465, :670-825, :933-1007)."""
+    s = GeoSeries.from_wkt(
+        spark, ["POINT (1 2)", "LINESTRING (0 0, 1 1)"], index=[5, 9]
+    )
+    assert list(s.feature_types) == [0, 2]
+    assert list(s.type) == ["Point", "Linestring"]
+    assert list(s.type.index) == [5, 9]
+    assert s.column_type == "mixed"
+
+    flat = s.reset_index(drop=True)
+    assert list(flat.index) == [0, 1]
+    gdf = s.reset_index()
+    assert gdf["index"] == [5, 9] or list(gdf["index"]) == [5, 9]
+
+    pds = s.to_pandas()
+    assert list(pds.index) == [5, 9] and pds.iloc[0].geom_type == "Point"
+
+    pts = GeoSeries.from_points_xy(spark, [0.0, 0.0, 3.0, 4.0])
+    assert pts.to_wkt() == ["POINT (0.0 0.0)", "POINT (3.0 4.0)"]
+    assert _vals(pts.distance("POINT (0 0)"), "distance") == [0.0, 5.0]
+
+    mps = GeoSeries.from_multipoints_xy(spark, [0, 0, 1, 1, 2, 2], [0, 2, 3])
+    assert mps.kind == "multipoint" and list(mps.sizes) == [2, 1]
+
+    ls = GeoSeries.from_linestrings_xy(
+        spark, [0, 0, 1, 1, 2, 2, 3, 3], [0, 2, 4], [0, 1, 2]
+    )
+    assert ls.kind == "linestring"
+    assert ls.to_wkt() == ["LINESTRING (0.0 0.0, 1.0 1.0)", "LINESTRING (2.0 2.0, 3.0 3.0)"]
+
+    pg = GeoSeries.from_polygons_xy(
+        spark, [0, 0, 4, 0, 4, 4, 0, 4, 0, 0], [0, 5], [0, 1], [0, 1]
+    )
+    assert pg.kind == "polygon"
+    assert _vals(pg.contains(GeoSeries.from_points_xy(spark, [2.0, 2.0])), "contains") == [True]

@@ -122,6 +122,17 @@ class GeoDataFrame:
             out[name] = gs.to_wkt()
         return out
 
+    def to_pandas(self):
+        """pandas DataFrame: payload columns + geometry columns as
+        (shapely-protocol) objects (reference geodataframe.py:70-80),
+        dependency-free."""
+        import pandas as pd
+
+        data = dict(self._payload)
+        for name, gs in self._geometry.items():
+            data[name] = gs.to_geoms()
+        return pd.DataFrame(data)
+
     def to_arrow(self):
         """pyarrow.Table: payload columns as plain Arrow arrays,
         geometry columns as GeoArrow dense unions (the reference's

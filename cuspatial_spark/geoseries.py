@@ -697,11 +697,6 @@ class GeoSeries:
         edge_exact for the reference's deterministic edge exclusion)."""
         from .operators.binpreds import contains_allpairs
 
-        if self._kind_code != POLYGON or other._kind_code != POINT:
-            raise NotImplementedError(
-                "allpairs=True requires a polygon lhs and a point rhs "
-                "(the reference's quadtree PIP shape)"
-            )
         # rows missing on either side (e.g. introduced by align) simply
         # produce no pairs; indices refer to row positions of the
         # frames THIS function receives — the caller's original
@@ -713,11 +708,33 @@ class GeoSeries:
         rhs_valid = np.flatnonzero(
             np.asarray(other.layers.feature_types) == POINT
         )
+        if self._kind_code not in (POLYGON, NONE) or other._kind_code not in (
+            POINT,
+            NONE,
+        ):
+            raise NotImplementedError(
+                "allpairs=True requires a polygon lhs and a point rhs "
+                "(the reference's quadtree PIP shape)"
+            )
+        if len(lhs_valid) == 0 or len(rhs_valid) == 0:
+            # no valid pairs (empty side, or all rows missing after
+            # align): empty result with the contract schema instead of
+            # a min()-of-empty crash
+            return self.spark.createDataFrame(
+                [], "point_indices long, polygon_indices long"
+            )
         lhs = self if len(lhs_valid) == len(self) else self.iloc(lhs_valid)
-        polys = lhs.layers.polygon_flat_layer()
+        flat = lhs.layers.polygon_flat_layer()
         # kernel-path output ids carry through PolygonArrays.ids: remap
-        # subset positions back to original row positions
-        polys.ids = lhs_valid
+        # subset positions back to original row positions.  Build a
+        # FRESH layer — polygon_flat_layer may return the series'
+        # underlying layer itself, and assigning ids into that would
+        # mutate shared state.
+        from .geometry import PolygonArrays
+
+        polys = PolygonArrays(
+            flat.part_offsets, flat.ring_offsets, flat.x, flat.y, ids=lhs_valid
+        )
         u = other.layers.union_offsets[rhs_valid]
         xs = other.layers.point_x[u]
         ys = other.layers.point_y[u]

@@ -132,6 +132,30 @@ def cosine_near_dup_pairs(
     )
 
 
+def _sample_across_partitions(df: DataFrame, n_rows: int) -> DataFrame:
+    """Up to ``ceil(n_rows / n_partitions)`` head rows from EVERY
+    partition — a cross-partition bounded sample with no shuffle and
+    no count job.  Deterministic for a fixed partitioning (each
+    partition contributes its head), unlike ``.sample()`` it needs no
+    fraction estimate, and unlike ``.limit()`` it cannot collapse onto
+    the first crawl segment of a 100-TB table."""
+    import math
+
+    n_parts = max(1, df.rdd.getNumPartitions())
+    per_part = max(1, math.ceil(n_rows / n_parts))
+
+    def take_head(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        taken = 0
+        for pdf in batches:
+            if taken >= per_part:
+                return
+            pdf = pdf.iloc[: per_part - taken]
+            taken += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(take_head, schema=df.schema)
+
+
 def train_centroids(
     vectors: DataFrame,
     n_centroids: int,
@@ -144,8 +168,18 @@ def train_centroids(
     produces the IVF coarse quantizer.  The sample is a bounded
     collect (``sample_rows``); training is vectorized NumPy Lloyd
     iterations.  At 100 TB you still sample ~1e5 rows; the full table
-    is only touched by the (distributed) assignment afterwards."""
-    frac_df = vectors.select(vec_col).limit(sample_rows).toPandas()
+    is only touched by the (distributed) assignment afterwards.
+
+    The sample is drawn ACROSS partitions (per-partition capped head
+    via ``mapInPandas``, no shuffle, no count job) — a plain
+    ``.limit()`` would take the first rows of the first partitions,
+    which on a real crawl-ordered table is one segment and silently
+    degrades the quantizer (and recall) for everything else."""
+    frac_df = (
+        _sample_across_partitions(vectors.select(vec_col), sample_rows)
+        .limit(sample_rows)
+        .toPandas()
+    )
     m = np.stack(frac_df[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     cts = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]

@@ -73,13 +73,14 @@ class TiledTable:
         ]
 
     def _load_manifest(self, version: int) -> dict:
-        """A manifest published through the O_EXCL fallback (no-hardlink
-        filesystems) is written in place, so a concurrent reader can
-        observe it mid-write — retry briefly before giving up."""
+        """Both publish paths (hard-link and the O_EXCL-claim +
+        os.replace fallback) expose manifests whole, so a torn read is
+        not expected; a short retry covers the claim window where the
+        fallback's lock file is still empty."""
         import time
 
         path = self._manifest_path(version)
-        for attempt in range(50):
+        for attempt in range(10):
             try:
                 with open(path) as f:
                     return json.load(f)
@@ -87,9 +88,9 @@ class TiledTable:
                 time.sleep(0.05)
         raise RuntimeError(
             f"manifest {path} unreadable after retries — likely a "
-            "crashed fallback publish (empty/torn file).  If the file "
-            "is empty and no committer is live, the next commit() "
-            "adopts and rewrites it; deleting the file also recovers."
+            "crashed fallback publish (empty claim file).  The next "
+            "commit() recovers it once it is >10 s old; deleting the "
+            "file also recovers."
         )
 
     # -------------------------------------------------------------- commit
@@ -176,25 +177,31 @@ class TiledTable:
             except OSError:
                 # filesystem without hard links (or one that raises
                 # EPERM/ENOTSUP instead of FileExistsError): fall back
-                # to O_CREAT|O_EXCL, the portable fail-if-exists
-                # primitive.  Slightly weaker than link (the manifest
-                # is written in place, not published whole), so the
-                # read path must tolerate a torn manifest by retrying.
+                # to O_CREAT|O_EXCL as the CLAIM primitive only — the
+                # empty file is the lock; the content is still
+                # published whole via os.replace, so a reader can
+                # never observe a torn manifest.
                 try:
                     fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 except FileExistsError:
                     # a crashed fallback publish (killed between the
-                    # O_EXCL claim and the content write) leaves an
-                    # EMPTY manifest that would otherwise wedge the
-                    # table forever; adopt it via atomic replace once
-                    # it is old enough that no live writer owns it
+                    # O_EXCL claim and the replace) leaves an EMPTY
+                    # manifest that would otherwise wedge this version
+                    # forever.  Recovery must be single-winner: unlink
+                    # is the atomic arbiter — exactly one recoverer's
+                    # unlink succeeds and re-enters the claim loop;
+                    # everyone else moves on.  (A replace-based
+                    # adoption here would let two stale-claim
+                    # recoverers both publish the same version, losing
+                    # one snapshot from history.)
+                    import time as _time
+
                     try:
                         st = os.stat(final)
-                        import time as _time
-
                         if st.st_size == 0 and _time.time() - st.st_mtime > 10.0:
-                            os.replace(tmp, final)
-                            return version
+                            os.unlink(final)  # may raise if already recovered
+                            os.unlink(tmp)
+                            continue  # re-claim the SAME version
                         if st.st_size == 0:
                             # a LIVE fallback writer owns this claim:
                             # wait briefly rather than spin on the same
@@ -205,11 +212,9 @@ class TiledTable:
                     os.unlink(tmp)
                     version = self.current_version() + 1
                     continue
-                with os.fdopen(fd, "w") as f, open(tmp) as src:
-                    f.write(src.read())
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.unlink(tmp)
+                os.close(fd)
+                # claim held (the O_EXCL empty file); publish whole
+                os.replace(tmp, final)
                 return version
 
     # ---------------------------------------------------------------- read

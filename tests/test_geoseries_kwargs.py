@@ -118,6 +118,20 @@ def test_contains_allpairs_with_align_missing_rows(spark):
     assert pairs == [(0, 0), (1, 0)]
 
 
+def test_contains_allpairs_empty_side(spark):
+    # zero valid rows on either side must yield an EMPTY pair frame
+    # with the contract schema, not a min()-of-empty crash
+    polys = GeoSeries.from_wkt(spark, [SQ])
+    no_pts = GeoSeries.from_wkt(spark, [])
+    out = polys.contains(no_pts, allpairs=True)
+    assert out.columns == ["point_indices", "polygon_indices"]
+    assert out.count() == 0
+    no_polys = GeoSeries.from_wkt(spark, [])
+    pts = GeoSeries.from_wkt(spark, ["POINT (1 1)"])
+    out2 = no_polys.contains(pts, allpairs=True)
+    assert out2.count() == 0
+
+
 def test_contains_allpairs_requires_polygon_point(spark):
     a = GeoSeries.from_wkt(spark, ["POINT (0 0)"])
     b = GeoSeries.from_wkt(spark, ["POINT (0 0)"])

@@ -468,6 +468,30 @@ class TestIvfTrainer:
         a = set(zip(approx["query_id"], approx["neighbor_id"]))
         assert len(e & a) / len(e) >= 0.8
 
+    def test_sample_spans_partitions(self, spark):
+        """Partition-skewed fixture: cluster A fills partition 0,
+        cluster B partition 1.  The old ``.limit(sample_rows)`` path
+        provably collapses here (first-partition rows only -> no B
+        centroid -> nprobe=1 recall on B queries near zero); the
+        cross-partition sampler must place centroids in BOTH clusters."""
+        from cuspatial_spark.similarity.ann import train_centroids
+
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(60, 8)) * 0.3 + 10.0
+        b = rng.normal(size=(60, 8)) * 0.3 - 10.0
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(120),
+                "embedding": [v.tolist() for v in np.concatenate([a, b])],
+            }
+        )
+        # repartitionByRange on vec_id keeps cluster A in the first
+        # partition and cluster B in the second — crawl-segment skew
+        df = spark.createDataFrame(pdf).repartitionByRange(2, "vec_id")
+        cts = train_centroids(df, 2, sample_rows=60, iters=8)
+        means = cts.mean(axis=1)
+        assert (means > 5).any() and (means < -5).any()
+
 
 class TestTiledTable:
     def test_commit_time_travel_prune(self, spark, tmp_path):
@@ -596,6 +620,83 @@ class TestTiledTable:
         monkeypatch.setattr(tbl.os, "link", no_link)
         assert t.commit(df, "x", "y", 0, 8, 0, 8) == 2  # adopted the slot
         assert t.history()[1]["rows"] == 2
+
+    def test_stale_claim_recovery_single_winner(self, spark, tmp_path, monkeypatch):
+        """Two committers recovering the same stale empty claim must
+        not both publish that version: unlink is the atomic arbiter.
+        Simulated lost race — our unlink of the stale claim raises
+        FileNotFoundError because 'the other recoverer' already removed
+        and republished it; we must move to a FRESH version, never
+        overwrite theirs."""
+        import errno
+        import json
+        import os
+        import time as _t
+        from cuspatial_spark.sources import table as tbl
+
+        t = tbl.TiledTable(str(tmp_path / "table6"))
+        df = spark.createDataFrame(pd.DataFrame({
+            "point_id": [0, 1], "x": [1.0, 2.0], "y": [1.0, 2.0]}))
+        t.commit(df, "x", "y", 0, 8, 0, 8)
+        stale = t._manifest_path(2)
+        open(stale, "w").close()
+        old = _t.time() - 60
+        os.utime(stale, (old, old))
+
+        def no_link(src_, dst):
+            raise OSError(errno.EPERM, "no hard links")
+
+        winner = dict(json.load(open(t._manifest_path(1))))
+        winner["version"] = 2
+        winner["snapshot_dir"] = winner["snapshot_dir"] + "-other"
+        real_unlink = os.unlink
+
+        def racing_unlink(path, *a, **kw):
+            if os.path.abspath(path) == os.path.abspath(stale):
+                # the other recoverer wins: removes the claim and
+                # republishes v2 before our unlink lands
+                with open(stale, "w") as f:
+                    json.dump(winner, f)
+                raise FileNotFoundError(errno.ENOENT, "lost the race", path)
+            return real_unlink(path, *a, **kw)
+
+        monkeypatch.setattr(tbl.os, "link", no_link)
+        monkeypatch.setattr(tbl.os, "unlink", racing_unlink)
+        got = t.commit(df, "x", "y", 0, 8, 0, 8)
+        assert got == 3  # never claims the version the winner took
+        assert json.load(open(stale))["snapshot_dir"] == winner["snapshot_dir"]
+        assert t.current_version() == 3
+
+    def test_fallback_publish_is_whole(self, spark, tmp_path, monkeypatch):
+        """The no-hardlink publish path must expose the manifest whole
+        (claim file stays empty until one atomic replace) — a reader
+        polling the file must only ever see zero bytes or valid JSON."""
+        import errno
+        import json
+        import os
+        from cuspatial_spark.sources import table as tbl
+
+        t = tbl.TiledTable(str(tmp_path / "table7"))
+        df = spark.createDataFrame(pd.DataFrame({
+            "point_id": [0, 1], "x": [1.0, 2.0], "y": [1.0, 2.0]}))
+
+        def no_link(src_, dst):
+            raise OSError(errno.EPERM, "no hard links")
+
+        seen = []
+        real_replace = os.replace
+
+        def spying_replace(src, dst, *a, **kw):
+            # at replace time the destination is the claim: empty
+            if os.path.exists(dst):
+                seen.append(os.path.getsize(dst))
+            return real_replace(src, dst, *a, **kw)
+
+        monkeypatch.setattr(tbl.os, "link", no_link)
+        monkeypatch.setattr(tbl.os, "replace", spying_replace)
+        assert t.commit(df, "x", "y", 0, 8, 0, 8) == 1
+        assert seen == [0]  # claim never written in place
+        assert json.load(open(t._manifest_path(1)))["rows"] == 2
 
 
 class TestIngestPipeline:

@@ -1325,6 +1325,103 @@ def _hilbert_sql() -> str:
     return ",\n".join(ctes)
 
 
+# ------------------------------------------------- consolidated queries
+#
+# The driver's correctness harness checks at most 50 queries; round 4
+# outgrew that cap (58 entries left the 8 newest without a hard-signal
+# row).  These combined queries join/union families that share a key
+# or schema — each constituent keeps its own Spark plan and its own
+# SQL truth, composed into one driver row, so ALL oracles stay inside
+# the cap with headroom.
+
+
+def q_projections(spark, sf_dir):
+    """haversine + sinusoidal + cuProj UTM over the same event keys,
+    joined one-row-per-event (each projection keeps its own plan and
+    oracle arithmetic)."""
+    return (
+        q_haversine(spark, sf_dir)
+        .join(q_sinusoidal(spark, sf_dir), "event_id")
+        .join(q_utm(spark, sf_dir), "event_id")
+    )
+
+
+def q_pip_variants(spark, sf_dir):
+    """The two alternate flagship-join plans — the salted SHUFFLE scale
+    path and the Arrow-kernel edge_exact refine — variant-tagged and
+    unioned; both must reproduce the broadcast plan's exact pair set."""
+    a = q_pip_shuffle(spark, sf_dir).select(
+        F.lit("shuffle").alias("variant"), "event_id", "polygon_id"
+    )
+    b = q_pip_edge_exact(spark, sf_dir).select(
+        F.lit("edge_exact").alias("variant"), "event_id", "polygon_id"
+    )
+    return a.unionByName(b)
+
+
+def q_pairwise_distances(spark, sf_dir):
+    """The four non-point pairwise distance kernels (point-polygon,
+    linestring-linestring, linestring-polygon, polygon-polygon) joined
+    one-row-per-event."""
+    a = q_point_polygon_distance(spark, sf_dir).withColumnRenamed(
+        "distance", "pt_poly_dist"
+    )
+    b = q_linestring_distance(spark, sf_dir).withColumnRenamed(
+        "distance", "ls_ls_dist"
+    )
+    c = q_lspoly_distance(spark, sf_dir).withColumnRenamed(
+        "distance", "ls_poly_dist"
+    )
+    d = q_polygon_distance(spark, sf_dir).withColumnRenamed(
+        "distance", "poly_poly_dist"
+    )
+    return a.join(b, "event_id").join(c, "event_id").join(d, "event_id")
+
+
+def q_binpreds_pt_poly(spark, sf_dir):
+    """The six point-vs-polygon binary predicates (contains_properly /
+    intersects / disjoint + contains / covers / within) over the same
+    (point, polygon_index) rows."""
+    return q_binpreds(spark, sf_dir).join(q_binpreds2(spark, sf_dir), "event_id")
+
+
+def q_binpreds_boundary(spark, sf_dir):
+    """Dispatcher boundary sweeps: point-vs-linestring covers/within/
+    touches and point-vs-polygon touches/covers over the exact
+    integer-derived probe points."""
+    a = q_binpreds4(spark, sf_dir)
+    b = (
+        q_binpreds5(spark, sf_dir)
+        .withColumnRenamed("pt_touches", "poly_pt_touches")
+        .withColumnRenamed("pt_covers", "poly_pt_covers")
+    )
+    return a.join(b, "event_id")
+
+
+def q_doc_signatures(spark, sf_dir):
+    """Per-document codegen signatures: language id + md5/rolling-hash
+    fingerprints + simhash, joined one-row-per-doc."""
+    return (
+        q_langid(spark, sf_dir)
+        .join(q_fingerprint(spark, sf_dir), "doc_id")
+        .join(q_simhash(spark, sf_dir), "doc_id")
+    )
+
+
+def q_cosine_dup(spark, sf_dir):
+    """Embedding cosine near-dup: exact all-pairs path and the
+    IVF-bucketed scale path (nprobe = n_centroids makes it exact),
+    variant-tagged and unioned — the bucket join must reproduce the
+    all-pairs pair set."""
+    a = q_cosine_near_dup(spark, sf_dir).select(
+        F.lit("brute").alias("variant"), "id_a", "id_b", "score"
+    )
+    b = q_cosine_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "id_a", "id_b", "score"
+    )
+    return a.unionByName(b)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed tile-filtered point-in-polygon join of
     geotagged events against the reference polygon layer at sf0.001."""
@@ -1332,20 +1429,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # newest / least-recently-driver-verified first; consolidated
+    # queries (q_projections etc.) keep the total within the driver's
+    # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
+        # round-5 consolidations of round-1..4 queries
+        "pip_variants": q_pip_variants,
+        "projections": q_projections,
+        "pairwise_distances": q_pairwise_distances,
+        "binpreds_pt_poly": q_binpreds_pt_poly,
+        "binpreds_boundary": q_binpreds_boundary,
+        "doc_signatures": q_doc_signatures,
+        "cosine_dup": q_cosine_dup,
+        # round-4 queries the r4 harness never reached
+        "dedup_clusters": q_dedup_clusters,
+        "multipart_distance": q_multipart_distance,
+        "spherical_pip": q_spherical_pip,
+        "contains_count": q_contains_count,
+        "ann_ivf": q_ann_ivf,
+        "url_canon": q_url_canon,
+        # long-green queries
         "spatial_window": q_spatial_window,
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
-        "pip_shuffle": q_pip_shuffle,
-        "pip_edge_exact": q_pip_edge_exact,
         "pip_bits": q_pip_bits,
         "nearest_linestring": q_nearest_linestring,
         "nearest_progressive": q_nearest_progressive,
         "quadtree": q_quadtree,
         "quadtree_bbox_join": q_quadtree_bbox_join,
-        "haversine": q_haversine,
-        "sinusoidal": q_sinusoidal,
-        "utm": q_utm,
         "trajectory_bboxes": q_trajectory_bboxes,
         "trajectory_speeds": q_trajectory_speeds,
         "hausdorff": q_hausdorff,
@@ -1353,29 +1464,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
         "lsh_canonical": q_lsh_canonical,
-        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
-        "langid": q_langid,
         "quality": q_quality,
-        "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
-        "cosine_near_dup": q_cosine_near_dup,
-        "cosine_ivf": q_cosine_ivf,
         "binary_metadata": q_binary_metadata,
-        "point_polygon_distance": q_point_polygon_distance,
         "nearest_points": q_nearest_points,
-        "linestring_distance": q_linestring_distance,
         "knn": q_knn,
-        "binpreds": q_binpreds,
         "pip_pairwise": q_pip_pairwise,
-        "lspoly_distance": q_lspoly_distance,
-        "polygon_distance": q_polygon_distance,
         "intersection": q_intersection,
         "binpreds_ls": q_binpreds_ls,
         "multipoint_equals": q_multipoint_equals,
         "multipoint_distance": q_multipoint_distance,
-        "binpreds2": q_binpreds2,
         "geom_equals": q_geom_equals,
         "binpreds3": q_binpreds3,
         "derive_traj": q_derive_traj,
@@ -1383,14 +1483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
         "hilbert": q_hilbert,
-        "dedup_clusters": q_dedup_clusters,
-        "binpreds4": q_binpreds4,
-        "binpreds5": q_binpreds5,
-        "multipart_distance": q_multipart_distance,
-        "spherical_pip": q_spherical_pip,
-        "contains_count": q_contains_count,
-        "ann_ivf": q_ann_ivf,
-        "url_canon": q_url_canon,
     }
 
 
@@ -1721,7 +1813,7 @@ def oracle_sql() -> dict[str, str]:
     langs = sorted(LANG_MARKERS)
     lang_rows = ", ".join(f"('{c}', s_{c})" for c in langs)
 
-    return {
+    o = {
         "spatial_window": f"""
             WITH {pts}
             SELECT event_id, x, y FROM pts
@@ -2644,3 +2736,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canonical_url FROM ranked WHERE rn = 1
         """,
     }
+    # ------------------------------------------- consolidated oracles
+    # each combined query joins/unions the constituent oracles exactly
+    # as the Spark side joins/unions the constituent plans (see the
+    # q_* consolidation block): the SQL truth per operator is unchanged
+    o["projections"] = f"""
+        WITH c0 AS ({o.pop("haversine")}),
+             c1 AS ({o.pop("sinusoidal")}),
+             c2 AS ({o.pop("utm")})
+        SELECT c0.event_id, c0.hav_km, c1.px, c1.py, c2.easting, c2.northing
+        FROM c0 JOIN c1 USING (event_id) JOIN c2 USING (event_id)
+    """
+    o["pip_variants"] = f"""
+        SELECT 'shuffle' AS variant, * FROM ({o.pop("pip_shuffle")})
+        UNION ALL
+        SELECT 'edge_exact' AS variant, * FROM ({o.pop("pip_edge_exact")})
+    """
+    o["pairwise_distances"] = f"""
+        WITH c0 AS ({o.pop("point_polygon_distance")}),
+             c1 AS ({o.pop("linestring_distance")}),
+             c2 AS ({o.pop("lspoly_distance")}),
+             c3 AS ({o.pop("polygon_distance")})
+        SELECT c0.event_id, c0.distance AS pt_poly_dist, c1.distance AS ls_ls_dist,
+               c2.distance AS ls_poly_dist, c3.distance AS poly_poly_dist
+        FROM c0 JOIN c1 USING (event_id) JOIN c2 USING (event_id)
+                JOIN c3 USING (event_id)
+    """
+    o["binpreds_pt_poly"] = f"""
+        WITH c0 AS ({o.pop("binpreds")}), c1 AS ({o.pop("binpreds2")})
+        SELECT c0.event_id, c0.contains_properly, c0.intersects, c0.disjoint,
+               c1.contains, c1.covers, c1.within
+        FROM c0 JOIN c1 USING (event_id)
+    """
+    o["binpreds_boundary"] = f"""
+        WITH c0 AS ({o.pop("binpreds4")}), c1 AS ({o.pop("binpreds5")})
+        SELECT c0.event_id, c0.pt_covers, c0.pt_within, c0.pt_touches,
+               c1.pt_touches AS poly_pt_touches, c1.pt_covers AS poly_pt_covers
+        FROM c0 JOIN c1 USING (event_id)
+    """
+    o["doc_signatures"] = f"""
+        WITH c0 AS ({o.pop("langid")}),
+             c1 AS ({o.pop("fingerprint")}),
+             c2 AS ({o.pop("simhash")})
+        SELECT c0.doc_id, c0.lang_pred, c1.fingerprint, c1.fingerprint_robust,
+               c2.simhash_hi, c2.simhash_lo
+        FROM c0 JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
+    """
+    o["cosine_dup"] = f"""
+        SELECT 'brute' AS variant, * FROM ({o.pop("cosine_near_dup")})
+        UNION ALL
+        SELECT 'ivf' AS variant, * FROM ({o.pop("cosine_ivf")})
+    """
+    return o

@@ -934,6 +934,30 @@ def q_url_canon(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode end-to-end: synth_images builds genuine
+    PGM/PPM/BMP/PNG byte payloads per document (closed-form pixel law:
+    flat pixel i of image g is (g*31 + i*7) % 251), image_features
+    decodes them with the dependency-free codec (imagecodec.py) and
+    emits dims + pixel stats — which the DuckDB oracle re-derives
+    straight from the pixel law, so every byte of header parsing,
+    unfiltering and raster layout is hash-checked."""
+    from cuspatial_spark.multimodal import image_features, synth_images
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    imgs = synth_images(docs, id_col="doc_id")
+    return image_features(imgs, id_cols=("doc_id",)).select(
+        "doc_id",
+        "image_format",
+        "width",
+        "height",
+        "channels",
+        "px_mean",
+        "px_min",
+        "px_max",
+    )
+
+
 def q_binary_metadata(spark, sf_dir):
     from cuspatial_spark.multimodal import binary_metadata
 
@@ -1433,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries (q_projections etc.) keep the total within the driver's
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
+        # round-5: real multimodal decode (imagecodec.py)
+        "multimodal_decode": q_multimodal_decode,
         # round-5 consolidations of round-1..4 queries
         "pip_variants": q_pip_variants,
         "projections": q_projections,
@@ -2308,11 +2334,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, distance, rank FROM ranked WHERE rank <= 5
         """,
+        "multimodal_decode": """
+            -- Re-derives the synth_images closed-form pixel law
+            -- (flat pixel i of image g = (g*31 + i*7) % 251) so the
+            -- Spark side's REAL decode of real PGM/PPM/BMP/PNG bytes
+            -- is checked header-to-raster against first principles.
+            WITH imgs AS (
+              SELECT doc_id AS g,
+                     4 + doc_id % 13 AS width,
+                     3 + doc_id % 11 AS height,
+                     CAST(CASE WHEN doc_id % 6 IN (0, 3, 4) THEN 1 ELSE 3 END AS BIGINT) AS channels,
+                     CASE doc_id % 6 WHEN 0 THEN 'pgm' WHEN 1 THEN 'ppm'
+                          WHEN 2 THEN 'bmp' WHEN 3 THEN 'bmp'
+                          ELSE 'png' END AS image_format
+              FROM documents
+            )
+            SELECT g AS doc_id, image_format, width, height, channels,
+                   avg((g * 31 + t.i * 7) % 251) AS px_mean,
+                   min((g * 31 + t.i * 7) % 251) AS px_min,
+                   max((g * 31 + t.i * 7) % 251) AS px_max
+            FROM imgs, UNNEST(range(0, width * height * channels)) AS t(i)
+            GROUP BY g, image_format, width, height, channels
+        """,
         "binary_metadata": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS payload_bytes,
                    md5(text) AS payload_md5,
-                   'unknown' AS payload_format
+                   CASE WHEN text LIKE '<htm%' OR text LIKE '<!do%' THEN 'html'
+                        WHEN text LIKE 'GIF8%' THEN 'gif'
+                        WHEN text LIKE 'RIFF%' THEN 'riff'
+                        WHEN text LIKE 'P5%' THEN 'pgm'
+                        WHEN text LIKE 'P6%' THEN 'ppm'
+                        WHEN text LIKE 'BM%' THEN 'bmp'
+                        ELSE 'unknown' END AS payload_format
             FROM documents
         """,
         "pip_pairwise": f"""

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Images/audio/video travel as ``binary`` columns with a metadata struct.
-The Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and tested; the actual codec calls are STUBBED
-because no image/audio libraries exist in this environment — the stub
-derives deterministic fake features from the bytes so pipelines are
-end-to-end testable.  Swap ``_decode_stub`` for PIL/librosa/ffmpeg in
-production.
+Images/audio/video travel as ``binary`` columns with a metadata
+struct.  The IMAGE path is REAL: ``imagecodec.decode_image`` decodes
+netpbm/BMP/PNG from first principles (numpy + stdlib zlib — no
+PIL/libjpeg in this environment), and ``image_features`` /
+``decode_features`` run it Arrow-batched over ``mapInPandas``.
+Audio/video remain STUBBED (``_decode_stub`` interprets bytes as a raw
+signal) — swap for librosa/pyav in production; the Spark-side plumbing
+(schema, batching, 1:N frame fan-out, partitioning) is the part that
+carries to 100 TB and is real and tested either way.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -33,6 +36,9 @@ _MAGIC = [
     (b"RIFF", "riff"),
     (b"<htm", "html"),
     (b"<!do", "html"),
+    (b"P5", "pgm"),
+    (b"P6", "ppm"),
+    (b"BM", "bmp"),
 ]
 
 
@@ -141,18 +147,30 @@ def resize_features(
 def decode_features(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads: one
     mapInPandas pass, NumPy math per batch (no per-row Python beyond
-    the codec boundary itself, which is per-item in any real decoder)."""
+    the codec boundary itself, which is per-item in any real decoder).
+
+    Image payloads (netpbm/BMP/PNG) are REALLY decoded
+    (imagecodec.decode_image) and featurized over their pixels;
+    unrecognized payloads degrade to the raw byte-signal
+    interpretation so mixed binary columns stay end-to-end usable."""
     import hashlib
+
+    from .imagecodec import ImageDecodeError, decode_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for payload in pdf[bin_col]:
-                arr = _decode_stub(bytes(payload))
+                raw = bytes(payload)
+                try:
+                    _, px = decode_image(raw)
+                    arr = px.ravel()
+                except ImageDecodeError:
+                    arr = _decode_stub(raw)
                 hist = np.bincount(arr >> 5, minlength=8).astype(np.int64)
                 rows.append(
                     (
-                        hashlib.md5(bytes(payload)).hexdigest(),
+                        hashlib.md5(raw).hexdigest(),
                         float(arr.mean()),
                         float(arr.std()),
                         list(hist),
@@ -164,3 +182,102 @@ def decode_features(df: DataFrame, bin_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("image_format", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("px_mean", DoubleType(), False),
+        StructField("px_min", LongType(), False),
+        StructField("px_max", LongType(), False),
+        StructField("phash", StringType(), False),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame, bin_col: str = "payload", id_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """REAL image decode -> per-image features, Arrow-batched.
+
+    Decodes netpbm (P5/P6), uncompressed BMP (8/24-bit), and PNG
+    (8-bit gray/RGB, all five scanline filters) from first principles
+    — see imagecodec.py — and emits (format, width, height, channels,
+    pixel mean/min/max, 64-bit average-hash hex).  ``id_cols`` are
+    carried through so the output joins back to its source rows.
+    Undecodable payloads raise, like a production decoder would; use
+    decode_features for the degrade-to-bytes behavior."""
+    from .imagecodec import average_hash, decode_image
+
+    keep = list(id_cols)
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in keep] + list(IMAGE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                raw = bytes(pdf[bin_col].iloc[idx])
+                fmt, px = decode_image(raw)
+                flat = px.ravel()
+                rows.append(
+                    tuple(pdf[k].iloc[idx] for k in keep)
+                    + (
+                        fmt,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px.shape[2]),
+                        float(flat.mean()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        f"{average_hash(px):016x}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=keep + [f.name for f in IMAGE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL encoded images, one per input row: id ``g``
+    gets a (4 + g%13) x (3 + g%11) image whose flat pixel ``i`` is
+    ``(g*31 + i*7) % 251``, encoded round-robin as PGM / PPM / 24-bit
+    BMP / 8-bit paletted BMP / gray PNG / RGB PNG (g % 6).  The
+    closed-form pixel law makes decoded stats SQL-checkable without a
+    SQL decoder — the fixture side of the multimodal_decode oracle."""
+    from .imagecodec import encode_bmp, encode_png, encode_pnm
+
+    src = df.select(F.col(id_col).cast("long").alias(id_col))
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for g in pdf[id_col]:
+                g = int(g)
+                w, h = 4 + g % 13, 3 + g % 11
+                c = 1 if g % 6 in (0, 3, 4) else 3
+                flat = (g * 31 + np.arange(w * h * c, dtype=np.int64) * 7) % 251
+                px = flat.astype(np.uint8).reshape(h, w, c)
+                v = g % 6
+                if v in (0, 1):
+                    payload = encode_pnm(px)
+                elif v in (2, 3):
+                    payload = encode_bmp(px)
+                else:
+                    payload = encode_png(px)
+                rows.append((g, payload))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return src.mapInPandas(run, schema=schema)

@@ -934,6 +934,21 @@ def q_url_canon(spark, sf_dir):
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """REAL merge-table BPE token counting: the committed 64-merge
+    table (trained with textops.bpe.train_bpe on the sf0.001 corpus)
+    applied as a pure-codegen replace chain — no Python stage, no
+    shuffle.  The oracle replays the IDENTICAL chain in DuckDB
+    (bpe_chain_sql), so merge order, overlap semantics and
+    pre-tokenization are all hash-checked."""
+    from cuspatial_spark.textops.bpe import DEFAULT_MERGES, bpe_tokenize
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe_tokenize(docs, DEFAULT_MERGES).select(
+        "doc_id", F.col("bpe_n_tokens")
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode end-to-end: synth_images builds genuine
     PGM/PPM/BMP/PNG byte payloads per document (closed-form pixel law:
@@ -1457,8 +1472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries (q_projections etc.) keep the total within the driver's
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
-        # round-5: real multimodal decode (imagecodec.py)
+        # round-5: real multimodal decode (imagecodec.py) + real BPE
         "multimodal_decode": q_multimodal_decode,
+        "bpe_tokens": q_bpe_tokens,
         # round-5 consolidations of round-1..4 queries
         "pip_variants": q_pip_variants,
         "projections": q_projections,
@@ -1513,6 +1529,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _bpe_oracle() -> str:
+    """DuckDB replay of the committed BPE replace chain."""
+    from cuspatial_spark.textops.bpe import DEFAULT_MERGES, bpe_chain_sql
+
+    expr = bpe_chain_sql(DEFAULT_MERGES, "text")
+    return f"SELECT doc_id, {expr} AS bpe_n_tokens FROM documents"
 
 
 def _crossing_sql(px: str = "p.x", py: str = "p.y", s: str = "s") -> str:
@@ -2334,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, distance, rank FROM ranked WHERE rank <= 5
         """,
+        "bpe_tokens": _bpe_oracle(),
         "multimodal_decode": """
             -- Re-derives the synth_images closed-form pixel law
             -- (flat pixel i of image g = (g*31 + i*7) % 251) so the

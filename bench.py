@@ -98,6 +98,10 @@ HEADLINE = [
     "contains_count",
     "ann_ivf",
     "url_canon",
+    # round 5: real BPE tokenizer (codegen replace chain) and real
+    # image decode (netpbm/BMP/PNG mapInPandas) — +2 queries to total
+    "bpe_tokens",
+    "multimodal_decode",
 ]
 
 
@@ -185,17 +189,32 @@ def main():
     # contended if ANY sample saw a degraded window: the min sample is
     # the honest gauge of the worst contention inside the recording
     contended = bool(calib and min(gauges) < 0.7 * calib)
-    if contended:
-        # contention gate (round-3 lesson: BENCH_r03 recorded a phantom
-        # 6.6x collapse in a contended window): don't publish the
-        # first-pass numbers as-is — run the whole set once more so the
-        # best-of spans a wider window, and flag the recording loudly.
+    # contention gate (round-3 lesson: BENCH_r03 recorded a phantom
+    # 6.6x collapse in a contended window; rounds 3 AND 4 never
+    # produced a contended=false artifact with a single immediate
+    # re-run): retry with sleep/backoff until a clean window appears,
+    # bounded by attempts AND wall-clock budget.  Mins accumulate
+    # across every pass, so retries only ever improve the estimate.
+    max_retries = int(os.environ.get("BENCH_CLEAN_RETRIES", "5"))
+    budget = float(os.environ.get("BENCH_RETRY_BUDGET_SEC", "600"))
+    sleeps = [15.0, 45.0, 90.0, 120.0, 180.0]
+    retry_t0 = time.perf_counter()
+    clean_retries = 0
+    while (
+        contended
+        and clean_retries < max_retries
+        and time.perf_counter() - retry_t0 < budget
+    ):
+        pause = sleeps[min(clean_retries, len(sleeps) - 1)]
         print(
-            f"bench: CONTENDED window detected (worst gauge sample "
+            f"bench: CONTENDED window (worst gauge sample "
             f"{min(gauges):.3g} < 70% of best-ever {calib:.3g}); "
-            "re-running query set once",
+            f"sleeping {pause:.0f}s then re-running query set "
+            f"(retry {clean_retries + 1}/{max_retries})",
             file=sys.stderr,
         )
+        time.sleep(pause)
+        clean_retries += 1
         gauges.clear()
         gauges.append(_cpu_gauge(int(CPUS)))
         one_pass(timings)
@@ -205,6 +224,7 @@ def main():
         # re-run after a throttled first pass must not store a stale low
         calib = max(calib, gauge)
         contended = bool(calib and min(gauges) < 0.7 * calib)
+    gave_up = contended and clean_retries > 0
     timings = {k: round(v, 3) for k, v in timings.items()}
     for name, t in timings.items():
         prev = qbest.get(name)
@@ -267,6 +287,10 @@ def main():
         "contention_gauge_best": round(calib, 1) if calib else None,
         "contention_ratio": round(min(gauges) / calib, 3) if calib else None,
         "contended": contended,
+        # how many sleep-and-retry passes ran chasing a clean window;
+        # gave_up_after set only when every retry stayed contended
+        "clean_retries": clean_retries,
+        "gave_up_after": clean_retries if gave_up else None,
     }
     print(json.dumps(out))
     spark.stop()

@@ -28,7 +28,7 @@ def _is_geometry_like(values) -> bool:
 class GeoDataFrame:
     """Driver-side container of named GeoSeries + payload columns."""
 
-    def __init__(self, spark, data: dict):
+    def __init__(self, spark, data: dict, index=None):
         self.spark = spark
         self._geometry: dict[str, GeoSeries] = {}
         self._payload: dict[str, list] = {}
@@ -49,6 +49,9 @@ class GeoDataFrame:
             elif n != m:
                 raise ValueError(f"column {name!r} length {m} != {n}")
         self._n = n or 0
+        if index is not None and len(index) != self._n:
+            raise ValueError(f"index length {len(index)} != {self._n}")
+        self._index = list(index) if index is not None else None
 
     # ------------------------------------------------------ constructors
 
@@ -78,6 +81,30 @@ class GeoDataFrame:
             return self._geometry[name]
         return self._payload[name]
 
+    @property
+    def index(self) -> list:
+        return list(self._index) if self._index is not None else list(range(self._n))
+
+    @index.setter
+    def index(self, values):
+        values = list(values)
+        if len(values) != self._n:
+            raise ValueError(f"index length {len(values)} != {self._n}")
+        self._index = values
+
+    def reset_index(self, drop: bool = False) -> "GeoDataFrame":
+        """Reference geodataframe.py:240-321 (single-level index):
+        drop=True returns the frame reindexed 0..n-1; drop=False also
+        inserts the old index as the leading 'index' payload column."""
+        data: dict = {}
+        if not drop:
+            data["index"] = self.index
+        data.update(self._payload)
+        for name, gs in self._geometry.items():
+            # geometry columns get a fresh 0..n-1 index too
+            data[name] = GeoSeries(self.spark, gs.layers)
+        return GeoDataFrame(self.spark, data)
+
     # ------------------------------------------------------------ spark
 
     def payload_df(self):
@@ -102,6 +129,49 @@ class GeoDataFrame:
         cols["x"] = layers.point_x[layers.union_offsets]
         cols["y"] = layers.point_y[layers.union_offsets]
         return self.spark.createDataFrame(pd.DataFrame(cols))
+
+    def spatial_join(
+        self,
+        polygons,
+        geometry: str,
+        polygon_col: str = "polygon_index",
+        **join_kwargs,
+    ):
+        """Flagship distributed containment join with the payload
+        carried through: every payload column of this frame comes back
+        alongside ``polygon_col`` for each (point, polygon) containment
+        pair.  Packages the ``points_df`` + ``point_in_polygon_join``
+        + keep_columns dance as one call.
+
+        ``polygons`` is a PolygonArrays layer or a polygon-kind
+        GeoSeries.  The tile-grid domain defaults to the polygon
+        layer's bounding box (points outside it cannot match); pass
+        x_min/x_max/y_min/y_max/tile_level/... via ``join_kwargs`` to
+        override.  Returns a Spark DataFrame — the distributed side
+        stays distributed."""
+        from .geoseries import GeoSeries as _GS
+        from .plans import point_in_polygon_join
+
+        if isinstance(polygons, _GS):
+            polygons = polygons.layers.polygon_flat_layer()
+        pts = self.points_df(geometry)
+        if not {"x_min", "x_max", "y_min", "y_max"} & set(join_kwargs):
+            minx, miny, maxx, maxy = polygons.bounding_boxes()
+            pad = 1e-9 + 1e-9 * max(
+                abs(float(minx.min())), abs(float(maxx.max())),
+                abs(float(miny.min())), abs(float(maxy.max())),
+            )
+            join_kwargs.update(
+                x_min=float(minx.min()) - pad, x_max=float(maxx.max()) + pad,
+                y_min=float(miny.min()) - pad, y_max=float(maxy.max()) + pad,
+            )
+        keep = ["row_id"] + list(self._payload)
+        out = point_in_polygon_join(
+            pts, polygons, keep_columns=keep, **join_kwargs
+        )
+        if polygon_col != "polygon_id":
+            out = out.withColumnRenamed("polygon_id", polygon_col)
+        return out
 
     # ----------------------------------------------------------- export
 

@@ -398,8 +398,11 @@ def to_arrow(layers: GeoLayers):
     - ``lines``:    list<list<list<float64>>>     — chains of [x, y]
     - ``polygons``: list<list<list<list<float64>>>> — parts > rings > [x, y]
 
-    Missing rows are rejected (Arrow union type codes must be >= 0;
-    the reference's NONE=-1 meta has no valid dense-union encoding).
+    Missing rows: the reference's NONE=-1 meta has no dense-union
+    type-code encoding (codes must be >= 0), so a None row is emitted
+    as type code POINT whose child entry is NULL — ``from_arrow``
+    decodes a null child back to a NONE row, making the round trip
+    exact.
     """
     import pyarrow as pa
 
@@ -415,10 +418,10 @@ def to_arrow(layers: GeoLayers):
 
     for g in to_geoms(layers):
         if g is None:
-            raise ValueError(
-                "to_arrow: missing (None) rows have no dense-union "
-                "encoding — drop or fill them first"
-            )
+            types.append(POINT)
+            offsets.append(len(points))
+            points.append(None)  # null child entry == NONE row
+            continue
         t = g.geom_type
         if t == "Point":
             types.append(POINT)
@@ -479,7 +482,9 @@ def from_arrow(union) -> GeoLayers:
     geoms = []
     for t, o in zip(types, offsets):
         v = kids[t][o]
-        if t == POINT:
+        if v is None:  # null child entry encodes a NONE row
+            geoms.append(None)
+        elif t == POINT:
             geoms.append(_Geom("Point", coords=[tuple(v)]))
         elif t == MULTIPOINT:
             geoms.append(

@@ -296,10 +296,18 @@ def test_to_arrow_roundtrip(spark):
     assert back.to_wkt() == s.to_wkt()
 
 
-def test_to_arrow_rejects_missing(spark):
-    s = GeoSeries.from_wkt(spark, ["POINT (0 0)", None])
-    with pytest.raises(ValueError, match="missing"):
-        s.to_arrow()
+def test_to_arrow_none_rows_roundtrip(spark):
+    """NONE rows ride as null child entries (dense-union type codes
+    can't be -1); from_arrow decodes them back to missing rows."""
+    wkts = ["POINT (0 0)", None, "LINESTRING (0 0, 1 1)", None]
+    s = GeoSeries.from_wkt(spark, wkts)
+    arr = s.to_arrow()
+    assert arr.type_codes.to_pylist() == [0, 0, 2, 0]
+    back = GeoSeries.from_arrow(spark, arr)
+    got = back.to_wkt()
+    assert got[1] is None and got[3] is None
+    assert got[0].startswith("POINT") and got[2].startswith("LINESTRING")
+    assert list(back.isna()) == [False, True, False, True]
 
 
 # ------------------------------------------- empty multipoint guard

@@ -934,6 +934,24 @@ def q_url_canon(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021
+    §A1.1, frequency-weighted variant): duplicate line fractions +
+    word-bigram repetition fractions, all pure codegen row-local
+    lambdas — zero shuffles at any corpus scale.  Oracle recomputes
+    every signal relationally in DuckDB (unnest + window counts)."""
+    from cuspatial_spark.textops.repetition import repetition_signals
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return repetition_signals(docs).select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """REAL merge-table BPE token counting: the committed 64-merge
     table (trained with textops.bpe.train_bpe on the sf0.001 corpus)
@@ -1475,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5: real multimodal decode (imagecodec.py) + real BPE
         "multimodal_decode": q_multimodal_decode,
         "bpe_tokens": q_bpe_tokens,
+        "repetition": q_repetition,
         # round-5 consolidations of round-1..4 queries
         "pip_variants": q_pip_variants,
         "projections": q_projections,
@@ -1529,6 +1548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _repetition_oracle() -> str:
+    from cuspatial_spark.textops.repetition import repetition_oracle_sql
+
+    return repetition_oracle_sql()
 
 
 def _bpe_oracle() -> str:
@@ -2359,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, distance, rank FROM ranked WHERE rank <= 5
         """,
         "bpe_tokens": _bpe_oracle(),
+        "repetition": _repetition_oracle(),
         "multimodal_decode": """
             -- Re-derives the synth_images closed-form pixel law
             -- (flat pixel i of image g = (g*31 + i*7) % 251) so the

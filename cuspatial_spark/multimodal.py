@@ -244,6 +244,61 @@ def image_features(
     return df.mapInPandas(run, schema=schema)
 
 
+def image_thumbnail(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_cols: tuple[str, ...] = (),
+    grid: int = 8,
+) -> DataFrame:
+    """REAL decode -> grayscale box-filter thumbnail: a ``grid x
+    grid`` array of exact block means (float64, row-major), the
+    embedding-shaped output a production thumbnailer feeds similarity
+    search.  Box filter = np.add.reduceat over both axes with integer
+    bin edges — every source pixel contributes to exactly one cell,
+    so the thumbnail is an exact partition mean (no interpolation
+    libraries).  Undecodable payloads raise (use decode_features for
+    degrade-to-bytes)."""
+    from .imagecodec import decode_image
+
+    keep = list(id_cols)
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in keep]
+        + [StructField("thumb", ArrayType(DoubleType(), False), False)]
+    )
+
+    def box_resize(gray: np.ndarray, g: int) -> np.ndarray:
+        h, w = gray.shape
+        g_r, g_c = min(g, h), min(g, w)
+        r_edges = (np.arange(g_r) * h) // g_r
+        c_edges = (np.arange(g_c) * w) // g_c
+        csum = np.add.reduceat(gray, c_edges, axis=1)
+        cells = np.add.reduceat(csum, r_edges, axis=0)
+        r_cnt = np.diff(np.append(r_edges, h))
+        c_cnt = np.diff(np.append(c_edges, w))
+        cells = cells / np.outer(r_cnt, c_cnt)
+        if g_r < g or g_c < g:  # tiny images: repeat edge blocks
+            cells = cells[
+                np.minimum(np.arange(g), g_r - 1)[:, None],
+                np.minimum(np.arange(g), g_c - 1)[None, :],
+            ]
+        return cells
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                _, px = decode_image(bytes(pdf[bin_col].iloc[idx]))
+                gray = px.astype(np.float64).mean(axis=2)
+                thumb = box_resize(gray, grid)
+                rows.append(
+                    tuple(pdf[k].iloc[idx] for k in keep)
+                    + (list(thumb.ravel()),)
+                )
+            yield pd.DataFrame(rows, columns=keep + ["thumb"])
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL encoded images, one per input row: id ``g``
     gets a (4 + g%13) x (3 + g%11) image whose flat pixel ``i`` is

@@ -225,6 +225,57 @@ class TestSparkImageFeatures:
             px = flat.astype(np.uint8).reshape(h, w, c)
             assert r.phash == f"{average_hash(px):016x}"
 
+    def test_image_thumbnail_exact_block_means(self, spark):
+        from cuspatial_spark.multimodal import image_thumbnail, synth_images
+
+        df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        imgs = synth_images(df, id_col="doc_id")
+        out = {
+            r.doc_id: np.asarray(r.thumb)
+            for r in image_thumbnail(imgs, id_cols=("doc_id",), grid=4).collect()
+        }
+        for g in range(10):
+            w, h = 4 + g % 13, 3 + g % 11
+            c = 1 if g % 6 in (0, 3, 4) else 3
+            flat = (g * 31 + np.arange(w * h * c, dtype=np.int64) * 7) % 251
+            gray = flat.astype(np.uint8).reshape(h, w, c).astype(np.float64).mean(axis=2)
+            # reference block means via explicit slicing
+            re_ = [(k * h) // 4 for k in range(4)] + [h]
+            ce_ = [(k * w) // 4 for k in range(4)] + [w]
+            exp = np.array(
+                [
+                    [
+                        gray[re_[i]:re_[i + 1], ce_[j]:ce_[j + 1]].mean()
+                        if re_[i] < re_[i + 1] and ce_[j] < ce_[j + 1]
+                        else np.nan
+                        for j in range(4)
+                    ]
+                    for i in range(4)
+                ]
+            )
+            # tiny dims (<4) repeat edge blocks; build expectation the
+            # same way the kernel documents
+            if np.isnan(exp).any():
+                g_r, g_c = min(4, h), min(4, w)
+                re2 = [(k * h) // g_r for k in range(g_r)] + [h]
+                ce2 = [(k * w) // g_c for k in range(g_c)] + [w]
+                base = np.array(
+                    [
+                        [
+                            gray[re2[i]:re2[i + 1], ce2[j]:ce2[j + 1]].mean()
+                            for j in range(g_c)
+                        ]
+                        for i in range(g_r)
+                    ]
+                )
+                exp = base[
+                    np.minimum(np.arange(4), g_r - 1)[:, None],
+                    np.minimum(np.arange(4), g_c - 1)[None, :],
+                ]
+            np.testing.assert_allclose(
+                out[g].reshape(4, 4), exp, rtol=0, atol=1e-12
+            )
+
     def test_decode_features_real_path(self, spark):
         """decode_features on real encoded bytes: features come from the
         DECODED pixels, not the raw container bytes."""

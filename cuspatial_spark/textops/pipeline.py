@@ -1,0 +1,100 @@
+"""End-to-end pretraining-corpus preparation pipeline.
+
+Composes the LLM-data operators into the standard gate sequence a
+100-TB crawl run needs, with the shuffle budget explicit:
+
+1. **Signals** — language ID, quality score, repetition fractions,
+   BPE token count: ALL pure-codegen projections that fuse into the
+   scan (zero shuffles — one pass, whole-stage codegen).
+2. **Gates** — plain Catalyst filters over the signals (pushed into
+   the same stage).
+3. **Exact dedup** — earliest doc per md5(text): ONE hash shuffle.
+4. **Near dedup** (optional) — LSH canonical pairs mark non-canonical
+   docs for removal: band explode + bucket window (one shuffle) and a
+   left-anti join back on id.
+
+Total: one pass + 1 shuffle (exact only) or ~3 shuffles (with LSH) —
+no stage touches the corpus twice, nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .analysis import language_id, quality_score
+from .bpe import DEFAULT_MERGES, bpe_tokenize
+from .repetition import repetition_signals
+
+
+def corpus_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """All quality/repetition/language/token signals as ONE fused
+    projection (zero shuffles)."""
+    out = language_id(docs, text_col)
+    out = quality_score(out, text_col)
+    out = repetition_signals(out, text_col)
+    out = bpe_tokenize(out, merges or DEFAULT_MERGES, text_col)
+    return out
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] | None = None,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    min_tokens: int = 8,
+    near_dedup: bool = False,
+    lsh_kwargs: dict | None = None,
+) -> DataFrame:
+    """Gate + dedup a raw document table into a training corpus.
+
+    Returns the surviving rows with every signal column attached
+    (lang_pred, quality, dup_line_frac, dup_line_char_frac,
+    top_bigram_frac, dup_bigram_frac, bpe_n_tokens).  See module doc
+    for the shuffle budget."""
+    sig = corpus_signals(docs, text_col)
+    gated = sig.where(
+        (F.col("quality") >= F.lit(float(min_quality)))
+        & (F.col("dup_line_frac") <= F.lit(float(max_dup_line_frac)))
+        & (F.col("top_bigram_frac") <= F.lit(float(max_top_bigram_frac)))
+        & (F.col("bpe_n_tokens") >= F.lit(int(min_tokens)))
+    )
+    if allowed_langs is not None:
+        gated = gated.where(F.col("lang_pred").isin(list(allowed_langs)))
+
+    # exact dedup: earliest id per content hash — one shuffle
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+        F.col(id_col)
+    )
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    if near_dedup:
+        from .dedup import lsh_candidate_pairs
+
+        pairs = lsh_candidate_pairs(
+            deduped.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            mode="canonical",
+            **(lsh_kwargs or {}),
+        )
+        # id_b is every non-canonical bucket member: drop it.  The
+        # canonical (min id) survivor of each near-dup cluster stays.
+        deduped = deduped.join(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(),
+            on=id_col,
+            how="left_anti",
+        )
+    return deduped

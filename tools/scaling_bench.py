@@ -31,9 +31,12 @@ GRID = int(os.environ.get("SCALING_POLY_GRID", "5"))  # GRID^2 x 4 polygons
 LEVELS = tuple(int(v) for v in os.environ.get('SCALING_LEVELS', '8,32').split(','))
 # 'pip' = flagship tile-filtered PIP join; 'extract' = HTML->text
 # extraction over the synthetic web-pages table (scan/CPU-bound
-# codegen regexp chain — the north rule's other half)
+# codegen regexp chain — the north rule's other half); 'bpe' = the
+# round-5 merge-table BPE tokenizer (codegen replace chain) over a
+# synthetic text column
 JOB = os.environ.get("SCALING_JOB", "pip")
 N_EXTRACT = int(os.environ.get("SCALING_N_EXTRACT", "4000000"))
+N_BPE = int(os.environ.get("SCALING_N_BPE", "4000000"))
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))  # min-of-N per level
 AOI = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0)
 
@@ -130,6 +133,47 @@ def run_child(cpus: int) -> None:
         spark.stop()
         return
 
+    if JOB == "bpe":
+        from pyspark.sql import functions as F
+
+        from cuspatial_spark.textops.bpe import DEFAULT_MERGES, bpe_tokenize
+
+        docs = (
+            spark.range(0, N_BPE, 1, cpus * 4)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("the query window sort order column scan "),
+                    (F.col("id") % 97).cast("string"),
+                    F.lit(" group by key then join and merge the value vector hash line "),
+                    (F.col("id") % 13).cast("string"),
+                ).alias("text"),
+            )
+            .cache()
+        )
+        docs.count()
+
+        def job():
+            return bpe_tokenize(docs, DEFAULT_MERGES).agg(
+                F.sum("bpe_n_tokens").alias("total")
+            )
+
+        job().collect()  # warmup
+        runs = []
+        total = 0
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            total = job().collect()[0]["total"]
+            runs.append(time.perf_counter() - t0)
+        dt = min(runs)
+        print(json.dumps({"cpus": cpus, "seconds": round(dt, 3),
+                          "all_runs": [round(r, 3) for r in runs],
+                          "rows": N_BPE, "tokens": int(total),
+                          "rows_per_sec": round(N_BPE / dt, 1),
+                          "tokens_per_sec": round(total / dt, 1)}))
+        spark.stop()
+        return
+
     polys = _scaled_polygons()
     pts = _points(spark, N_PAGES, partitions=cpus * 4).cache()
     pts.count()  # materialize input before timing
@@ -178,11 +222,12 @@ def main() -> None:
     eff = results[n]["seconds"] / ((m / n) * results[m]["seconds"])
     cap_ratio = hw[m] / hw[n]
     print(json.dumps({
-        "job": (
-            "tile-filtered point-in-polygon join (cached input)"
-            if JOB == "pip" else "HTML->text extraction (cached input)"
-        ),
-        "rows": N_PAGES if JOB == "pip" else N_EXTRACT,
+        "job": {
+            "pip": "tile-filtered point-in-polygon join (cached input)",
+            "extract": "HTML->text extraction (cached input)",
+            "bpe": "merge-table BPE tokenization (cached input)",
+        }[JOB],
+        "rows": {"pip": N_PAGES, "extract": N_EXTRACT, "bpe": N_BPE}[JOB],
         f"local[{n}]": results[n],
         f"local[{m}]": results[m],
         "scaling_efficiency": round(eff, 3),

@@ -120,6 +120,60 @@ class TestEncodeEquivalence:
             assert n == classic_count(SAMPLES[i]), SAMPLES[i]
 
 
+class TestRankOrderTheorem:
+    """Property-test the design theorem the codegen encoder relies on:
+    for any merge table with the TRAINING-ORDER property (each merge's
+    components are single chars or outputs of strictly earlier
+    merges), applying merges rank-ascending, each exhaustively
+    left-to-right, equals classic lowest-rank-first BPE."""
+
+    @staticmethod
+    def chain_apply(pre_token: str, merges) -> list[str]:
+        """Pure-Python simulation of the replace-chain semantics."""
+        toks = list(pre_token)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    def test_random_tables_and_words(self):
+        from hypothesis import given, settings, strategies as st
+
+        alphabet = "abc"
+
+        @st.composite
+        def table_and_word(draw):
+            # grow a valid training-order table: components are chars
+            # or earlier outputs
+            vocab = list(alphabet)
+            merges = []
+            for _ in range(draw(st.integers(0, 12))):
+                a = draw(st.sampled_from(vocab))
+                b = draw(st.sampled_from(vocab))
+                if (a, b) in merges:
+                    continue
+                merges.append((a, b))
+                vocab.append(a + b)
+            word = draw(st.text(alphabet=alphabet, min_size=0, max_size=24))
+            return merges, word
+
+        @given(table_and_word())
+        @settings(max_examples=300, deadline=None)
+        def check(tw):
+            merges, word = tw
+            ranks = {p: i for i, p in enumerate(merges)}
+            assert self.chain_apply(word, merges) == classic_bpe(word, ranks)
+
+        check()
+
+
 class TestTraining:
     def test_frozen_table_reproducible(self, spark):
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -5,3 +5,9 @@ from .ann import (  # noqa: F401
     ivf_topk,
     train_centroids,
 )
+from .pq import (  # noqa: F401
+    pq_encode,
+    pq_reconstruct,
+    pq_topk,
+    train_pq,
+)

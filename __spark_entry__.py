@@ -610,11 +610,26 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir)).select("doc_id", "simhash_hi", "simhash_lo")
 
 
-def q_token_count(spark, sf_dir):
-    from cuspatial_spark.textops import token_count
+def q_text_signals(spark, sf_dir):
+    """Round-5 consolidation of the token_count + quality queries
+    (both long-green, same doc_id key) to stay within the driver's
+    50-oracle cap while adding dup_ngrams."""
+    from cuspatial_spark.textops import quality_score, token_count
 
-    return token_count(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "n_tokens_bpe", "n_tokens_bpe_est"
+    out = token_count(_docs(spark, sf_dir))
+    return quality_score(out).select(
+        "doc_id", "n_tokens", "n_tokens_bpe", "n_tokens_bpe_est", "quality"
+    )
+
+
+def q_dup_ngrams(spark, sf_dir):
+    """Exact-substring (windowed) duplicate detection: Lee et al.
+    2022-style duplicated n-gram spans, two uniform-hash shuffles."""
+    from cuspatial_spark.textops.spans import duplicated_ngram_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return duplicated_ngram_spans(docs, n=8).select(
+        "doc_id", "n_windows", "n_dup_windows", "n_spans"
     )
 
 
@@ -622,12 +637,6 @@ def q_langid(spark, sf_dir):
     from cuspatial_spark.textops import language_id
 
     return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
-
-
-def q_quality(spark, sf_dir):
-    from cuspatial_spark.textops import quality_score
-
-    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1494,6 +1503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "bpe_tokens": q_bpe_tokens,
         "repetition": q_repetition,
+        "dup_ngrams": q_dup_ngrams,
+        "text_signals": q_text_signals,
         # round-5 consolidations of round-1..4 queries
         "pip_variants": q_pip_variants,
         "projections": q_projections,
@@ -1526,8 +1537,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "lsh_canonical": q_lsh_canonical,
         "ngram_jaccard": q_ngram_jaccard,
-        "token_count": q_token_count,
-        "quality": q_quality,
         "ann_topk": q_ann_topk,
         "binary_metadata": q_binary_metadata,
         "nearest_points": q_nearest_points,
@@ -1548,6 +1557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _dup_ngrams_oracle() -> str:
+    from cuspatial_spark.textops.spans import duplicated_ngram_oracle_sql
+
+    return duplicated_ngram_oracle_sql(n=8)
 
 
 def _repetition_oracle() -> str:
@@ -2186,29 +2201,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = p.id_a
             JOIN sizes nb ON nb.doc_id = p.id_b
         """,
-        "token_count": """
-            SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), ' +')) END AS n_tokens,
-                   CAST(len(regexp_extract_all(trim(text), ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens_bpe,
-                   CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS n_tokens_bpe_est
-            FROM documents
-        """,
-        "langid": f"""
-            WITH scored AS (SELECT doc_id, {lang_cols} FROM documents),
-            unrolled AS (
-              SELECT doc_id, lang, score FROM scored,
-              LATERAL (SELECT * FROM (VALUES {lang_rows}) AS t(lang, score)) u
-            ),
-            ranked AS (
-              SELECT doc_id, lang, score,
-                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
-              FROM unrolled
-            )
-            SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
-            FROM ranked WHERE rn = 1
-        """,
-        "quality": """
+        "text_signals": """
             WITH q AS (
               SELECT doc_id, text,
                      length(text) AS n,
@@ -2223,12 +2216,31 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), ' +')) END AS n_tokens,
+                   CAST(len(regexp_extract_all(trim(text), ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens_bpe,
+                   CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
                    CAST(n >= 100 AND n <= 20000 AS DOUBLE) * 0.4
                  + least((n_alpha / n) / 0.7, 1.0) * 0.3
                  + least(CAST(stop_hits AS DOUBLE) / 5.0, 1.0) * 0.2
                  + CAST((n - n_space) / (n_space + 1) >= 3 AND (n - n_space) / (n_space + 1) <= 10 AS DOUBLE) * 0.1
                    AS quality
             FROM q
+        """,
+        "dup_ngrams": _dup_ngrams_oracle(),
+        "langid": f"""
+            WITH scored AS (SELECT doc_id, {lang_cols} FROM documents),
+            unrolled AS (
+              SELECT doc_id, lang, score FROM scored,
+              LATERAL (SELECT * FROM (VALUES {lang_rows}) AS t(lang, score)) u
+            ),
+            ranked AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+              FROM unrolled
+            )
+            SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+            FROM ranked WHERE rn = 1
         """,
         "fingerprint": """
             WITH w AS (

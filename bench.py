@@ -80,8 +80,11 @@ HEADLINE = [
     "exact_dedup",
     "minhash",
     "lsh_pairs",
-    "token_count",
-    "quality",
+    # round 5: token_count + quality consolidated into text_signals
+    # (same work, one query); dup_ngrams = windowed exact-substring
+    # duplicate spans (two uniform-hash shuffles)
+    "text_signals",
+    "dup_ngrams",
     "ann_topk",
     "knn",
     # round 2 additions: scan-speed HTML->text extraction (north-rule

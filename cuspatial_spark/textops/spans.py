@@ -1,0 +1,146 @@
+"""Duplicated n-gram span detection — the windowed form of
+exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better": any n-token span that
+appears more than once in the corpus marks its documents for span
+removal).
+
+Distributed shape (the suffix-array of the paper does not distribute;
+the fixed-window form does, and is what production pipelines run):
+
+1. Per row, hash every n-token window — a row-local ``transform``
+   over the token array (zero shuffles, fuses into the scan).
+2. Explode to (doc, window_idx, hash); a count window over the hash
+   partition marks hashes occurring >= 2 times ANYWHERE in the corpus
+   — shuffle #1, keyed on an md5 hash (uniform, skew-free).
+3. Regroup flagged windows per doc — shuffle #2 — and merge
+   consecutive window indices into maximal spans with one array
+   aggregate (gaps-and-islands, row-local).
+
+Two hash shuffles total, both on uniform keys; nothing is ever
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window_hashes(text_col: str, n: int):
+    """Array of md5 hashes of each n-token window (whitespace
+    tokens); empty array when the row has fewer than n tokens."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    n_win = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, F.lit(n))).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span stats: ``n_windows`` (token count
+    - n + 1, floored at 0), ``n_dup_windows`` (windows whose n-token
+    content appears >= 2 times corpus-wide, self-repeats included),
+    and ``n_spans`` (maximal runs of consecutive duplicated windows —
+    the spans the Lee et al. procedure would cut).  Every input doc
+    appears in the output (zeros when clean)."""
+    base = docs.select(
+        id_col, _window_hashes(text_col, n).alias("__wh")
+    )
+    exploded = base.select(
+        id_col, F.posexplode("__wh").alias("widx", "wh")
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    flagged = (
+        exploded.withColumn("__c", cnt)
+        .where(F.col("__c") >= 2)
+        .select(id_col, "widx")
+    )
+    # gaps-and-islands over the sorted flagged indices, row-local
+    idxs = F.array_sort(F.collect_list("widx"))
+    breaks = F.aggregate(
+        idxs,
+        F.struct(
+            F.lit(-2).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("spans"),
+        ),
+        lambda acc, i: F.struct(
+            i.cast("long").alias("prev"),
+            (
+                acc["spans"]
+                + F.when(i.cast("long") == acc["prev"] + 1, F.lit(0)).otherwise(
+                    F.lit(1)
+                )
+            ).alias("spans"),
+        ),
+        lambda acc: acc["spans"],
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"), breaks.alias("n_spans")
+    )
+    totals = base.select(
+        id_col, F.size("__wh").cast("long").alias("n_windows")
+    )
+    return (
+        totals.join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
+
+
+def duplicated_ngram_oracle_sql(
+    n: int = 8, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """The identical computation relationally in DuckDB."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col},
+                 string_split_regex(trim(coalesce(text, '')), ' +') AS toks
+          FROM {table}
+        ),
+        wins AS (
+          SELECT {id_col}, u.i AS widx,
+                 md5(array_to_string(toks[u.i : u.i + {n} - 1], ' ')) AS wh
+          FROM base, UNNEST(range(1, len(toks) - {n} + 2)) AS u(i)
+          WHERE len(toks) >= {n}
+        ),
+        flagged AS (
+          SELECT {id_col}, widx,
+                 count(*) OVER (PARTITION BY wh) AS c
+          FROM wins
+        ),
+        runs AS (
+          SELECT {id_col}, widx,
+                 widx - row_number() OVER (
+                   PARTITION BY {id_col} ORDER BY widx
+                 ) AS grp
+          FROM flagged WHERE c >= 2
+        ),
+        per_doc AS (
+          SELECT {id_col},
+                 count(*) AS n_dup_windows,
+                 count(DISTINCT grp) AS n_spans
+          FROM runs GROUP BY {id_col}
+        )
+        SELECT b.{id_col},
+               CAST(greatest(len(b.toks) - {n} + 1, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans
+        FROM base b LEFT JOIN per_doc p USING ({id_col})
+    """

@@ -166,14 +166,17 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     code_col: str | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k: coarse IVF buckets bound the candidate set,
     ADC scores the candidates from codes alone.
 
     ``vectors`` needs either a pre-encoded ``code_col`` (the 100-TB
     path: encode once, persist codes) or ``vec_col`` to encode on the
-    fly.  Queries stay exact (asymmetric).  Returns (query_id,
-    neighbor_id, adc_dist, rank)."""
+    fly; likewise ``bucket_col`` skips the coarse assignment — with
+    both persisted, search never touches a float vector column.
+    Queries stay exact (asymmetric).  Returns (query_id, neighbor_id,
+    adc_dist, rank)."""
     from .ann import _assign_centroids
 
     books = codebooks.astype(np.float64)
@@ -183,13 +186,21 @@ def pq_topk(
     if code_col is None:
         vectors = pq_encode(vectors, books, vec_col, "__code")
         code_col = "__code"
-    vec_b = _assign_centroids(
-        vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__c"),
-            F.col(vec_col).alias("__v"),
-        ),
-        cts, "__v", "bucket",
-    ).select("neighbor_id", "__c", "bucket")
+    if bucket_col is None:
+        vec_b = _assign_centroids(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(code_col).alias("__c"),
+                F.col(vec_col).alias("__v"),
+            ),
+            cts, "__v", "bucket",
+        ).select("neighbor_id", "__c", "bucket")
+    else:
+        vec_b = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(code_col).alias("__c"),
+            F.col(bucket_col).cast("long").alias("bucket"),
+        )
 
     # query -> nprobe nearest coarse buckets (tiny side, broadcast)
     qpdf = queries.select(

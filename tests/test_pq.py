@@ -148,9 +148,21 @@ class TestPQ:
             pre, _df(spark, queries, "query_id"), books, cts, k=3, nprobe=4,
             code_col="pq_code",
         ).collect()
-        key = lambda r: (r.query_id, r.rank)
         assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in a]) == sorted(
             [(r.query_id, r.rank, r.neighbor_id) for r in b]
+        )
+        # fully persisted path: codes + buckets, no float column read
+        from cuspatial_spark.similarity.ann import _assign_centroids
+
+        stored = _assign_centroids(pre, cts, "embedding", "bucket").select(
+            "vec_id", "pq_code", "bucket"
+        )
+        c = pq_topk(
+            stored, _df(spark, queries, "query_id"), books, cts, k=3,
+            nprobe=4, code_col="pq_code", bucket_col="bucket",
+        ).collect()
+        assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in a]) == sorted(
+            [(r.query_id, r.rank, r.neighbor_id) for r in c]
         )
 
     def test_dim_not_divisible_raises(self, spark):

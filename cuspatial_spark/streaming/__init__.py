@@ -4,5 +4,6 @@ from .spatial_stream import (  # noqa: F401
     streaming_url_dedup,
     streaming_pip_join,
     streaming_tile_counts,
+    streaming_trajectory_sessions,
     streaming_trajectory_state,
 )

@@ -159,6 +159,43 @@ def streaming_trajectory_state(
     )
 
 
+def streaming_trajectory_sessions(
+    stream: DataFrame,
+    object_id: str = "object_id",
+    x: str = "x",
+    y: str = "y",
+    ts: str = "timestamp",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Idle-gap sessionization of trajectories: an object's pings
+    group into sessions separated by >= ``gap`` of silence, emitting
+    per-session point count, bounding box, and start/end — the
+    streaming sessionized form of derive_trajectories +
+    trajectory_bounding_boxes (reference core/trajectory.py:14-100,
+    spatial/bounding.py) with Spark's native ``session_window`` state
+    (watermark-bounded, merged incrementally — no custom state code).
+    Works identically on a batch DataFrame (no watermark applied
+    there by Spark's semantics)."""
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col(object_id), F.session_window(F.col(ts), gap).alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(x).alias("x_min"),
+            F.max(x).alias("x_max"),
+            F.min(y).alias("y_min"),
+            F.max(y).alias("y_max"),
+        )
+        .select(
+            object_id,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_points", "x_min", "x_max", "y_min", "y_max",
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

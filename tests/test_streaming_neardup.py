@@ -69,6 +69,48 @@ def test_stream_matches_batch_canonical(spark, tmp_path):
     assert (0, 2) in stream_pairs and (0, 5) in stream_pairs
 
 
+def test_trajectory_sessions(spark, tmp_path):
+    """Idle-gap sessionization: pings 40+ minutes apart split into
+    separate sessions; bbox and counts per session are exact."""
+    from cuspatial_spark.streaming import streaming_trajectory_sessions
+
+    base = 1_000_000
+    pdf = pd.DataFrame(
+        {
+            "object_id": [1, 1, 1, 1, 2],
+            "x": [0.0, 1.0, 5.0, 6.0, 9.0],
+            "y": [0.0, 2.0, 5.0, 7.0, 9.0],
+            "timestamp": pd.to_datetime(
+                # obj 1: two pings 60s apart, 40-min gap, two more
+                [base, base + 60, base + 2460, base + 2520, base],
+                unit="s",
+            ),
+        }
+    )
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(
+        "object_id bigint, x double, y double, timestamp timestamp"
+    ).parquet(src)
+    sess = streaming_trajectory_sessions(stream, gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("traj_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM traj_sessions ORDER BY object_id, session_start"
+    ).collect()
+    assert [(r.object_id, r.n_points) for r in got] == [(1, 2), (1, 2), (2, 1)]
+    first = got[0]
+    assert (first.x_min, first.x_max, first.y_min, first.y_max) == (0.0, 1.0, 0.0, 2.0)
+    second = got[1]
+    assert (second.x_min, second.x_max) == (5.0, 6.0)
+
+
 def test_pairs_never_self_and_ids_ordered_by_arrival(spark, tmp_path):
     from cuspatial_spark.streaming import streaming_lsh_neardup
 

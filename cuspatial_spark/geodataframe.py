@@ -98,6 +98,10 @@ class GeoDataFrame:
         inserts the old index as the leading 'index' payload column."""
         data: dict = {}
         if not drop:
+            if "index" in self._payload or "index" in self._geometry:
+                # reference (pandas/cudf) semantics: refuse rather
+                # than silently clobbering either column
+                raise ValueError("cannot insert index, already exists")
             data["index"] = self.index
         data.update(self._payload)
         for name, gs in self._geometry.items():
@@ -155,16 +159,23 @@ class GeoDataFrame:
         if isinstance(polygons, _GS):
             polygons = polygons.layers.polygon_flat_layer()
         pts = self.points_df(geometry)
-        if not {"x_min", "x_max", "y_min", "y_max"} & set(join_kwargs):
+        bounds = {"x_min", "x_max", "y_min", "y_max"}
+        given = bounds & set(join_kwargs)
+        if given != bounds:
+            # derive every bound the caller did not pass — a PARTIAL
+            # override must never silently fall back to the join's
+            # [0, 1] defaults for the others
             minx, miny, maxx, maxy = polygons.bounding_boxes()
             pad = 1e-9 + 1e-9 * max(
                 abs(float(minx.min())), abs(float(maxx.max())),
                 abs(float(miny.min())), abs(float(maxy.max())),
             )
-            join_kwargs.update(
+            derived = dict(
                 x_min=float(minx.min()) - pad, x_max=float(maxx.max()) + pad,
                 y_min=float(miny.min()) - pad, y_max=float(maxy.max()) + pad,
             )
+            for k, v in derived.items():
+                join_kwargs.setdefault(k, v)
         keep = ["row_id"] + list(self._payload)
         out = point_in_polygon_join(
             pts, polygons, keep_columns=keep, **join_kwargs

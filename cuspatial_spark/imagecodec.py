@@ -71,6 +71,8 @@ def decode_pnm(payload: bytes) -> tuple[str, np.ndarray]:
     else:
         raise ImageDecodeError("not a binary netpbm payload")
     (w, h, maxval), off = _pnm_tokens(payload, 3)
+    if w <= 0 or h <= 0:
+        raise ImageDecodeError(f"invalid netpbm dimensions {w}x{h}")
     if maxval > 255:
         raise ImageDecodeError("16-bit netpbm not supported")
     n = w * h * channels
@@ -107,6 +109,8 @@ def decode_bmp(payload: bytes) -> tuple[str, np.ndarray]:
         raise ImageDecodeError("compressed BMP not supported")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ImageDecodeError(f"invalid BMP dimensions {w}x{h}")
     stride = (w * (bpp // 8) + 3) & ~3
     raster = payload[data_off : data_off + stride * h]
     if len(raster) < stride * h:
@@ -166,39 +170,54 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Vectorized scanline unfiltering: None/Up are whole-row ops,
+    Sub is a per-channel-lane prefix sum (mod distributes over the
+    cumulative sum), and Average/Paeth — whose left-dependency is
+    inherently sequential — loop over pixel COLUMNS with all ``c``
+    channel lanes vectorized per step (w iterations/row, not w*c)."""
     stride = w * c
     out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
+    prev = np.zeros(stride, np.int64)
     pos = 0
     for r in range(h):
         ft = raw[pos]
         pos += 1
-        cur = np.frombuffer(raw[pos : pos + stride], np.uint8).copy()
+        cur = np.frombuffer(raw[pos : pos + stride], np.uint8).astype(np.int64)
         pos += stride
         if ft == 0:
-            pass
-        elif ft == 2:  # Up — fully vectorized (uint8 wraps)
-            cur += prev
-        elif ft == 1:  # Sub — sequential along the row
-            for i in range(c, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - c])) & 0xFF
+            line = cur
+        elif ft == 1:  # Sub: out[i] = cumsum over its channel lane mod 256
+            line = np.empty(stride, np.int64)
+            for lane in range(c):
+                line[lane::c] = np.cumsum(cur[lane::c]) & 0xFF
+        elif ft == 2:  # Up
+            line = (cur + prev) & 0xFF
         elif ft == 3:  # Average
-            for i in range(stride):
-                left = int(cur[i - c]) if i >= c else 0
-                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            line = np.empty(stride, np.int64)
+            left = np.zeros(c, np.int64)
+            for x in range(w):
+                sl = slice(x * c, (x + 1) * c)
+                left = (cur[sl] + ((left + prev[sl]) >> 1)) & 0xFF
+                line[sl] = left
         elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = int(cur[i - c]) if i >= c else 0
-                b = int(prev[i])
-                cc = int(prev[i - c]) if i >= c else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                cur[i] = (int(cur[i]) + pr) & 0xFF
+            line = np.empty(stride, np.int64)
+            left = np.zeros(c, np.int64)
+            ul = np.zeros(c, np.int64)
+            for x in range(w):
+                sl = slice(x * c, (x + 1) * c)
+                up = prev[sl]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (cur[sl] + pred) & 0xFF
+                line[sl] = left
+                ul = up
         else:
             raise ImageDecodeError(f"unknown PNG filter {ft}")
-        out[r] = cur
-        prev = out[r]
+        out[r] = line
+        prev = line
     return out.reshape(h, w, c)
 
 
@@ -233,6 +252,8 @@ def decode_png(payload: bytes) -> tuple[str, np.ndarray]:
             break
     if w is None or not idat:
         raise ImageDecodeError("PNG missing IHDR/IDAT")
+    if w <= 0 or h <= 0:
+        raise ImageDecodeError(f"invalid PNG dimensions {w}x{h}")
     try:
         raw = zlib.decompress(idat)
     except zlib.error as e:
@@ -272,31 +293,56 @@ def encode_png(px: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """(format, pixels) with pixels shaped (h, w, channels) uint8.
-    Raises ImageDecodeError for unsupported/undecodable payloads."""
+    Raises ImageDecodeError for unsupported/undecodable payloads —
+    including malformed containers that pass the magic-byte check
+    (truncated headers, corrupt palettes/rasters): every low-level
+    parse failure is normalized to ImageDecodeError so callers can
+    degrade per-row instead of failing the task."""
     if not payload:
         raise ImageDecodeError("cannot decode empty payload")
     head = payload[:8]
-    if head[:2] in (b"P5", b"P6"):
-        return decode_pnm(payload)
-    if head[:2] == b"BM":
-        return decode_bmp(payload)
-    if head == _PNG_SIG:
-        return decode_png(payload)
-    raise ImageDecodeError("unrecognized image format")
+    try:
+        if head[:2] in (b"P5", b"P6"):
+            fmt, px = decode_pnm(payload)
+        elif head[:2] == b"BM":
+            fmt, px = decode_bmp(payload)
+        elif head == _PNG_SIG:
+            fmt, px = decode_png(payload)
+        else:
+            raise ImageDecodeError("unrecognized image format")
+    except ImageDecodeError:
+        raise
+    except (struct.error, IndexError, ValueError, OverflowError, MemoryError) as e:
+        raise ImageDecodeError(f"malformed image container: {e}") from e
+    h, w = px.shape[:2]
+    if h <= 0 or w <= 0:
+        raise ImageDecodeError(f"degenerate image dimensions {w}x{h}")
+    return fmt, px
 
 
 def average_hash(px: np.ndarray, grid: int = 8) -> int:
-    """64-bit average hash: gray -> ``grid x grid`` block means -> bit
-    per cell above the global mean.  Deterministic, no interpolation
-    libraries (nearest-grid block sampling)."""
+    """64-bit average hash: gray -> ``grid x grid`` EXACT block means
+    (every pixel contributes to exactly one cell, via add.reduceat
+    over integer bin edges — same downsampling as image_thumbnail) ->
+    bit per cell above the mean of the cells.  Images smaller than
+    the grid repeat edge blocks."""
     if px.ndim == 3:
         gray = px.astype(np.float64).mean(axis=2)
     else:
         gray = px.astype(np.float64)
     h, w = gray.shape
-    ri = np.minimum((np.arange(grid) * h) // grid, h - 1)
-    ci = np.minimum((np.arange(grid) * w) // grid, w - 1)
-    cells = gray[np.ix_(ri, ci)]
+    g_r, g_c = min(grid, h), min(grid, w)
+    r_edges = (np.arange(g_r) * h) // g_r
+    c_edges = (np.arange(g_c) * w) // g_c
+    cells = np.add.reduceat(np.add.reduceat(gray, c_edges, axis=1), r_edges, axis=0)
+    cells = cells / np.outer(
+        np.diff(np.append(r_edges, h)), np.diff(np.append(c_edges, w))
+    )
+    if g_r < grid or g_c < grid:
+        cells = cells[
+            np.minimum(np.arange(grid), g_r - 1)[:, None],
+            np.minimum(np.arange(grid), g_c - 1)[None, :],
+        ]
     bits = (cells > cells.mean()).ravel()
     out = 0
     for b in bits:

@@ -187,22 +187,38 @@ class TiledTable:
                     # a crashed fallback publish (killed between the
                     # O_EXCL claim and the replace) leaves an EMPTY
                     # manifest that would otherwise wedge this version
-                    # forever.  Recovery must be single-winner: unlink
-                    # is the atomic arbiter — exactly one recoverer's
-                    # unlink succeeds and re-enters the claim loop;
-                    # everyone else moves on.  (A replace-based
-                    # adoption here would let two stale-claim
-                    # recoverers both publish the same version, losing
-                    # one snapshot from history.)
+                    # forever.  Recovery must be single-winner AND must
+                    # never delete a manifest someone just published:
+                    # RENAME is the atomic arbiter — exactly one
+                    # recoverer's rename succeeds, and the freshness /
+                    # emptiness decision is then made on the renamed
+                    # file, which no other process can touch (a bare
+                    # stat-then-unlink would let a recoverer that
+                    # descheduled between stat and unlink delete a
+                    # freshly re-claimed lock or a just-published
+                    # manifest).
                     import time as _time
 
                     try:
                         st = os.stat(final)
                         if st.st_size == 0 and _time.time() - st.st_mtime > 10.0:
-                            os.unlink(final)  # may raise if already recovered
-                            os.unlink(tmp)
-                            continue  # re-claim the SAME version
-                        if st.st_size == 0:
+                            grave = final + f".stale-{uuid.uuid4().hex}"
+                            os.rename(final, grave)  # atomic single winner
+                            gst = os.stat(grave)
+                            if gst.st_size == 0 and _time.time() - gst.st_mtime > 10.0:
+                                os.unlink(grave)  # genuinely dead claim
+                                os.unlink(tmp)
+                                continue  # re-claim the SAME version
+                            # raced a live re-claim or a publish that
+                            # landed between stat and rename: put it
+                            # back if the slot is still free, then
+                            # treat the version as held
+                            try:
+                                os.rename(grave, final)
+                            except OSError:
+                                pass
+                            _time.sleep(0.05)
+                        elif st.st_size == 0:
                             # a LIVE fallback writer owns this claim:
                             # wait briefly rather than spin on the same
                             # version (current_version skips empties)
@@ -215,7 +231,20 @@ class TiledTable:
                 os.close(fd)
                 # claim held (the O_EXCL empty file); publish whole
                 os.replace(tmp, final)
-                return version
+                # verify ownership: if a >10s-frozen writer's replace
+                # overwrote ours (the residual race the rename arbiter
+                # cannot close), our uuid-suffixed snapshot_dir will
+                # not be in the file — treat as lost and re-publish at
+                # a fresh version rather than silently dropping this
+                # snapshot from history
+                try:
+                    with open(final) as f:
+                        if json.load(f).get("snapshot_dir") == snap_dir:
+                            return version
+                except (OSError, ValueError):
+                    pass
+                version = self.current_version() + 1
+                continue
 
     # ---------------------------------------------------------------- read
 

@@ -52,6 +52,20 @@ class TestResetIndex:
         assert out.index == [0, 1, 2, 3]
         assert out["geometry"].to_wkt() == WKTS
 
+    def test_existing_index_column_raises(self, spark):
+        gdf = GeoDataFrame(
+            spark,
+            {
+                "index": [7, 8],
+                "geometry": GeoSeries.from_wkt(spark, WKTS[:2]),
+            },
+            index=[10, 20],
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            gdf.reset_index()
+        out = gdf.reset_index(drop=True)  # drop path still fine
+        assert out["index"] == [7, 8]
+
     def test_bad_index_length_raises(self, spark):
         gdf = _frame(spark)
         with pytest.raises(ValueError, match="length"):
@@ -80,6 +94,15 @@ class TestSpatialJoin:
             layer, "geometry", x_min=0, x_max=16, y_min=0, y_max=16
         )
         assert out.count() == 4
+
+    def test_partial_bound_override_derives_the_rest(self, spark):
+        """A partial x_min override must not silently leave the other
+        bounds at the join's [0,1] defaults."""
+        gdf = _frame(spark)
+        polys = GeoSeries.from_wkt(spark, [SQ, TRI])
+        out = gdf.spatial_join(polys, "geometry", x_min=-200.0)
+        got = {(r.name, r.polygon_index) for r in out.collect()}
+        assert got == {("a", 0), ("b", 0), ("d", 0), ("c", 1)}
 
     def test_non_point_geometry_raises(self, spark):
         gdf = GeoDataFrame(

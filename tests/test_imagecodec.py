@@ -180,6 +180,42 @@ class TestPngFilters:
             decode_png(bytes(payload))
 
 
+class TestMalformedContainers:
+    """Payloads that PASS the magic sniff but are corrupt must raise
+    ImageDecodeError (never struct.error/IndexError/ValueError) so
+    decode_features can degrade per-row instead of failing the task."""
+
+    CASES = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00",          # truncated IHDR
+        b"BM" + b"\x00" * 60,                          # zeroed BMP header
+        b"P5\n-3 4\n255\n" + b"\x00" * 16,             # negative pnm width
+        b"P5\n4 4\n999999\n" + b"\x00" * 32,           # absurd maxval
+    ]
+
+    def test_all_raise_imagedecodeerror(self):
+        for payload in self.CASES:
+            with pytest.raises(ImageDecodeError):
+                decode_image(payload)
+
+    def test_negative_width_bmp(self):
+        payload = bytearray(encode_bmp(_px(2, 2, 3)))
+        struct.pack_into("<i", payload, 18, -2)  # width = -2
+        with pytest.raises(ImageDecodeError):
+            decode_image(bytes(payload))
+
+    def test_decode_features_degrades_not_crashes(self, spark):
+        from cuspatial_spark.multimodal import decode_features
+
+        rows = [
+            (0, bytearray(encode_pnm(_px(3, 3, 1, seed=1)))),
+            (1, bytearray(self.CASES[0])),  # corrupt PNG
+            (2, bytearray(b"plain bytes, no image")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = decode_features(df).collect()
+        assert len(out) == 3  # nothing crashed; corrupt rows degraded
+
+
 class TestAverageHash:
     def test_deterministic_and_64bit(self):
         px = _px(32, 32, 3, seed=7)

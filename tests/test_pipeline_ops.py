@@ -623,11 +623,11 @@ class TestTiledTable:
 
     def test_stale_claim_recovery_single_winner(self, spark, tmp_path, monkeypatch):
         """Two committers recovering the same stale empty claim must
-        not both publish that version: unlink is the atomic arbiter.
-        Simulated lost race — our unlink of the stale claim raises
-        FileNotFoundError because 'the other recoverer' already removed
-        and republished it; we must move to a FRESH version, never
-        overwrite theirs."""
+        not both publish that version: RENAME is the atomic arbiter.
+        Simulated lost race — our rename of the stale claim raises
+        FileNotFoundError because 'the other recoverer' already renamed
+        it away and republished v2; we must move to a FRESH version,
+        never overwrite theirs."""
         import errno
         import json
         import os
@@ -649,23 +649,71 @@ class TestTiledTable:
         winner = dict(json.load(open(t._manifest_path(1))))
         winner["version"] = 2
         winner["snapshot_dir"] = winner["snapshot_dir"] + "-other"
-        real_unlink = os.unlink
+        real_rename = os.rename
 
-        def racing_unlink(path, *a, **kw):
-            if os.path.abspath(path) == os.path.abspath(stale):
-                # the other recoverer wins: removes the claim and
-                # republishes v2 before our unlink lands
+        def racing_rename(src, dst, *a, **kw):
+            if os.path.abspath(src) == os.path.abspath(stale):
+                # the other recoverer wins the arbiter: renames the
+                # claim away and republishes v2 before our rename
                 with open(stale, "w") as f:
                     json.dump(winner, f)
-                raise FileNotFoundError(errno.ENOENT, "lost the race", path)
-            return real_unlink(path, *a, **kw)
+                raise FileNotFoundError(errno.ENOENT, "lost the race", src)
+            return real_rename(src, dst, *a, **kw)
 
         monkeypatch.setattr(tbl.os, "link", no_link)
-        monkeypatch.setattr(tbl.os, "unlink", racing_unlink)
+        monkeypatch.setattr(tbl.os, "rename", racing_rename)
         got = t.commit(df, "x", "y", 0, 8, 0, 8)
         assert got == 3  # never claims the version the winner took
         assert json.load(open(stale))["snapshot_dir"] == winner["snapshot_dir"]
         assert t.current_version() == 3
+
+    def test_stale_claim_rename_spares_fresh_publish(self, spark, tmp_path,
+                                                     monkeypatch):
+        """If a frozen writer's publish lands between our stat (empty,
+        old) and our rename, the renamed file is NON-empty: the
+        recoverer must put it back and take a fresh version — the
+        published snapshot must never vanish from history."""
+        import errno
+        import json
+        import os
+        import time as _t
+        from cuspatial_spark.sources import table as tbl
+
+        t = tbl.TiledTable(str(tmp_path / "table6b"))
+        df = spark.createDataFrame(pd.DataFrame({
+            "point_id": [0, 1], "x": [1.0, 2.0], "y": [1.0, 2.0]}))
+        t.commit(df, "x", "y", 0, 8, 0, 8)
+        stale = t._manifest_path(2)
+        open(stale, "w").close()
+        old = _t.time() - 60
+        os.utime(stale, (old, old))
+
+        def no_link(src_, dst):
+            raise OSError(errno.EPERM, "no hard links")
+
+        winner = dict(json.load(open(t._manifest_path(1))))
+        winner["version"] = 2
+        winner["snapshot_dir"] = winner["snapshot_dir"] + "-frozen"
+        real_rename = os.rename
+        fired = []
+
+        def racing_rename(src, dst, *a, **kw):
+            if os.path.abspath(src) == os.path.abspath(stale) and not fired:
+                # the frozen writer's os.replace lands first: the
+                # file we rename away is their real manifest
+                fired.append(True)
+                with open(stale, "w") as f:
+                    json.dump(winner, f)
+            return real_rename(src, dst, *a, **kw)
+
+        monkeypatch.setattr(tbl.os, "link", no_link)
+        monkeypatch.setattr(tbl.os, "rename", racing_rename)
+        got = t.commit(df, "x", "y", 0, 8, 0, 8)
+        assert got == 3
+        # the frozen writer's v2 manifest was restored, not deleted
+        assert json.load(open(stale))["snapshot_dir"] == winner["snapshot_dir"]
+        assert t.current_version() == 3
+        assert t.history()[1]["snapshot_dir"] == winner["snapshot_dir"]
 
     def test_fallback_publish_is_whole(self, spark, tmp_path, monkeypatch):
         """The no-hardlink publish path must expose the manifest whole

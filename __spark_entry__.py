@@ -1194,6 +1194,37 @@ def q_multipoint_distance(spark, sf_dir):
     )
 
 
+def q_multipoint_ops(spark, sf_dir):
+    """Consolidated multipoint pairwise kernels in one driver slot
+    (round-4 lesson: the driver's correctness harness caps at 50
+    queries): equals-count and set-distance joined on group_id, both
+    still independently hash-checked by the combined oracle."""
+    eq = q_multipoint_equals(spark, sf_dir)
+    dist = q_multipoint_distance(spark, sf_dir)
+    return eq.join(dist, "group_id").select(
+        "group_id", "equals_count", "distance"
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL WAV decode end-to-end: synth_audio builds genuine
+    RIFF/PCM-16 payloads per document (closed-form sample law: flat
+    interleaved sample i of clip g is ((g*37 + i*11) % 65521) - 32760;
+    every 5th clip carries a junk LIST chunk), audio_features decodes
+    them with the dependency-free codec (audiocodec.py) and emits
+    rate/duration/amplitude/rms/zero-crossing stats — which the DuckDB
+    oracle re-derives straight from the sample law, so header parsing,
+    chunk walking and interleaved frame layout are all hash-checked."""
+    from cuspatial_spark.multimodal import audio_features, synth_audio
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clips = synth_audio(docs, id_col="doc_id")
+    return audio_features(clips, id_cols=("doc_id",)).select(
+        "doc_id", "sample_rate", "channels", "n_frames", "duration_s",
+        "amp_mean", "amp_min", "amp_max", "rms", "zero_crossings",
+    )
+
+
 def q_binpreds3(spark, sf_dir):
     """Extended binpred matrix: polygon x polygon, point x linestring,
     linestring x polygon combos."""
@@ -1500,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
         # round-5: real multimodal decode (imagecodec.py) + real BPE
+        "audio_features": q_audio_features,
         "multimodal_decode": q_multimodal_decode,
         "bpe_tokens": q_bpe_tokens,
         "repetition": q_repetition,
@@ -1544,8 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_pairwise": q_pip_pairwise,
         "intersection": q_intersection,
         "binpreds_ls": q_binpreds_ls,
-        "multipoint_equals": q_multipoint_equals,
-        "multipoint_distance": q_multipoint_distance,
+        "multipoint_ops": q_multipoint_ops,
         "geom_equals": q_geom_equals,
         "binpreds3": q_binpreds3,
         "derive_traj": q_derive_traj,
@@ -2397,6 +2428,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_tokens": _bpe_oracle(),
         "repetition": _repetition_oracle(),
+        "audio_features": """
+            -- Re-derives the synth_audio closed-form sample law
+            -- (flat interleaved sample i of clip g =
+            -- ((g*37 + i*11) % 65521) - 32760) so the Spark side's
+            -- REAL decode of real RIFF/PCM-16 bytes is checked
+            -- header-to-frames against first principles.  All sums
+            -- run over exact integers < 2^53, so the float division
+            -- and sqrt are bit-identical to numpy's.
+            WITH clips AS (
+              SELECT doc_id AS g,
+                     40 + doc_id % 97 AS n_frames,
+                     CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                     CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate
+              FROM documents
+            ),
+            samp AS (
+              SELECT g, n_frames, channels, sample_rate, t.i,
+                     ((g * 37 + t.i * 11) % 65521) - 32760 AS s
+              FROM clips, UNNEST(range(0, n_frames * channels)) AS t(i)
+            ),
+            agg AS (
+              SELECT g, n_frames, channels, sample_rate,
+                     CAST(sum(s) AS DOUBLE) / count(*) AS amp_mean,
+                     min(s) AS amp_min, max(s) AS amp_max,
+                     sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+              FROM samp
+              GROUP BY g, n_frames, channels, sample_rate
+            ),
+            zc AS (
+              SELECT a.g,
+                     count(*) FILTER (WHERE a.s * b.s < 0) AS zero_crossings
+              FROM samp a JOIN samp b
+                ON b.g = a.g AND b.i = a.i + a.channels
+              GROUP BY a.g
+            )
+            SELECT agg.g AS doc_id, sample_rate, channels, n_frames,
+                   CAST(n_frames AS DOUBLE) / sample_rate AS duration_s,
+                   amp_mean, amp_min, amp_max, rms,
+                   COALESCE(zc.zero_crossings, 0) AS zero_crossings
+            FROM agg LEFT JOIN zc ON zc.g = agg.g
+        """,
         "multimodal_decode": """
             -- Re-derives the synth_images closed-form pixel law
             -- (flat pixel i of image g = (g*31 + i*7) % 251) so the
@@ -2522,28 +2594,29 @@ def oracle_sql() -> dict[str, str]:
                      AS overlaps
             FROM kinds
         """,
-        "multipoint_equals": f"""
+        "multipoint_ops": f"""
             WITH {pts},
             l AS (SELECT CAST(floor(event_id / 10) AS BIGINT) AS g, x, y
                   FROM pts WHERE event_id < 200),
-            r AS (SELECT CAST(floor((event_id - 5) / 10) AS BIGINT) AS g, x, y
-                  FROM pts WHERE event_id >= 5 AND event_id < 205)
-            SELECT l.g AS group_id, count(m.x) AS equals_count
-            FROM l LEFT JOIN (SELECT DISTINCT g, x, y FROM r) m
-              ON m.g = l.g AND m.x = l.x AND m.y = l.y
-            GROUP BY l.g
-        """,
-        "multipoint_distance": f"""
-            WITH {pts},
-            l AS (SELECT CAST(floor(event_id / 10) AS BIGINT) AS g, x, y
-                  FROM pts WHERE event_id < 200),
-            r AS (SELECT CAST(floor((event_id - 25) / 10) AS BIGINT) AS g, x, y
-                  FROM pts WHERE event_id >= 25 AND event_id < 225)
-            SELECT l.g AS group_id,
-                   sqrt(min((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)))
-                     AS distance
-            FROM l JOIN r ON r.g = l.g
-            GROUP BY l.g
+            r5 AS (SELECT CAST(floor((event_id - 5) / 10) AS BIGINT) AS g, x, y
+                   FROM pts WHERE event_id >= 5 AND event_id < 205),
+            r25 AS (SELECT CAST(floor((event_id - 25) / 10) AS BIGINT) AS g, x, y
+                    FROM pts WHERE event_id >= 25 AND event_id < 225),
+            eq AS (
+              SELECT l.g, count(m.x) AS equals_count
+              FROM l LEFT JOIN (SELECT DISTINCT g, x, y FROM r5) m
+                ON m.g = l.g AND m.x = l.x AND m.y = l.y
+              GROUP BY l.g
+            ),
+            dist AS (
+              SELECT l.g,
+                     sqrt(min((l.x - r25.x) * (l.x - r25.x)
+                              + (l.y - r25.y) * (l.y - r25.y))) AS distance
+              FROM l JOIN r25 ON r25.g = l.g
+              GROUP BY l.g
+            )
+            SELECT eq.g AS group_id, eq.equals_count, dist.distance
+            FROM eq JOIN dist ON dist.g = eq.g
         """,
         "binpreds2": f"""
             WITH {pts}, {segs},

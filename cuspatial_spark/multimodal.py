@@ -4,11 +4,14 @@ Images/audio/video travel as ``binary`` columns with a metadata
 struct.  The IMAGE path is REAL: ``imagecodec.decode_image`` decodes
 netpbm/BMP/PNG from first principles (numpy + stdlib zlib — no
 PIL/libjpeg in this environment), and ``image_features`` /
-``decode_features`` run it Arrow-batched over ``mapInPandas``.
-Audio/video remain STUBBED (``_decode_stub`` interprets bytes as a raw
-signal) — swap for librosa/pyav in production; the Spark-side plumbing
-(schema, batching, 1:N frame fan-out, partitioning) is the part that
-carries to 100 TB and is real and tested either way.
+``decode_features`` run it Arrow-batched over ``mapInPandas``.  The
+AUDIO path is REAL too: ``audiocodec.decode_wav`` parses RIFF/WAVE
+PCM (8/16/24/32-bit + IEEE float) with stdlib struct + numpy, and
+``audio_features`` featurizes decoded frames (rate, duration, rms,
+zero crossings).  VIDEO remains STUBBED (``_decode_stub`` interprets
+bytes as a raw signal) — swap for pyav in production; the Spark-side
+plumbing (schema, batching, 1:N frame fan-out, partitioning) is the
+part that carries to 100 TB and is real and tested either way.
 """
 
 from __future__ import annotations
@@ -333,6 +336,106 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 else:
                     payload = encode_png(px)
                 rows.append((g, payload))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("sample_rate", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("duration_s", DoubleType(), False),
+        StructField("amp_mean", DoubleType(), False),
+        StructField("amp_min", LongType(), False),
+        StructField("amp_max", LongType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, bin_col: str = "payload", id_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """REAL WAV decode -> per-clip features, Arrow-batched.
+
+    Decodes RIFF/WAVE PCM (8/16/24/32-bit int + IEEE float32/64, any
+    channel count, arbitrary chunk order) from first principles — see
+    audiocodec.py — and emits (sample_rate, channels, n_frames,
+    duration_s, amplitude mean/min/max, rms, strict-sign zero-crossing
+    count per channel lane summed).  ``id_cols`` are carried through so
+    the output joins back to its source rows.  Undecodable payloads
+    raise, like a production decoder would; this is a map-only pass —
+    no shuffle, cost linear in corpus bytes at any scale."""
+    from .audiocodec import audio_stats, decode_wav
+
+    keep = list(id_cols)
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in keep] + list(AUDIO_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                rate, samples = decode_wav(bytes(pdf[bin_col].iloc[idx]))
+                s = audio_stats(samples)
+                rows.append(
+                    tuple(pdf[k].iloc[idx] for k in keep)
+                    + (
+                        int(rate),
+                        int(samples.shape[1]),
+                        int(samples.shape[0]),
+                        float(samples.shape[0] / rate),
+                        s["amp_mean"],
+                        int(s["amp_min"]),
+                        int(s["amp_max"]),
+                        s["rms"],
+                        int(s["zero_crossings"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=keep + [f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL encoded WAV clips, one per input row: id
+    ``g`` gets ``40 + g%97`` frames of ``1 + g%2`` channels at
+    ``8000*(1 + g%3)`` Hz, with interleaved flat sample ``i`` equal to
+    ``((g*37 + i*11) % 65521) - 32760`` (int16-safe), encoded as
+    16-bit PCM.  Every 5th clip carries a junk LIST chunk before (g%5
+    == 0) or a trailing pad scenario after (odd byte counts) the data
+    chunk, so the RIFF chunk walk is exercised on real variety.  The
+    closed-form sample law makes decoded stats SQL-checkable without a
+    SQL decoder — the fixture side of the audio_features oracle."""
+    from .audiocodec import encode_wav
+
+    src = df.select(F.col(id_col).cast("long").alias(id_col))
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for g in pdf[id_col]:
+                g = int(g)
+                n = 40 + g % 97
+                ch = 1 + g % 2
+                rate = 8000 * (1 + g % 3)
+                i = np.arange(n * ch, dtype=np.int64)
+                flat = ((g * 37 + i * 11) % 65521) - 32760
+                samples = flat.astype(np.int16).reshape(n, ch)
+                extra = [(b"LIST", b"INFOjunk!")] if g % 5 == 0 else None
+                rows.append((g, encode_wav(samples, rate, extra_chunks=extra)))
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return src.mapInPandas(run, schema=schema)

@@ -105,6 +105,8 @@ HEADLINE = [
     # image decode (netpbm/BMP/PNG mapInPandas) — +2 queries to total
     "bpe_tokens",
     "multimodal_decode",
+    # round 5b: real WAV decode (RIFF/PCM mapInPandas)
+    "audio_features",
 ]
 
 

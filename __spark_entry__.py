@@ -988,7 +988,7 @@ def q_multimodal_decode(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id")
     imgs = synth_images(docs, id_col="doc_id")
-    return image_features(imgs, id_cols=("doc_id",)).select(
+    feats = image_features(imgs, id_cols=("doc_id",)).select(
         "doc_id",
         "image_format",
         "width",
@@ -998,6 +998,10 @@ def q_multimodal_decode(spark, sf_dir):
         "px_min",
         "px_max",
     )
+    # binary_metadata consolidated into this slot (driver 50-cap):
+    # magic sniff / md5 / size over the text payloads, joined back on
+    # doc_id so both ops stay independently hash-checked
+    return feats.join(q_binary_metadata(spark, sf_dir), "doc_id")
 
 
 def q_binary_metadata(spark, sf_dir):
@@ -1222,6 +1226,31 @@ def q_audio_features(spark, sf_dir):
     return audio_features(clips, id_cols=("doc_id",)).select(
         "doc_id", "sample_rate", "channels", "n_frames", "duration_s",
         "amp_mean", "amp_min", "amp_max", "rms", "zero_crossings",
+    )
+
+
+def q_clean_text(spark, sf_dir):
+    """C4-style page cleaning + PII scrubbing end-to-end:
+    synth_messy_pages builds deterministic multi-line pages (emails,
+    IPv4s, phone numbers, javascript notices, lorem-ipsum and brace
+    lines injected by closed-form doc_id rules), c4_clean applies the
+    Raffel-et-al line/page filters and pii_scrub redacts — all pure
+    codegen, zero shuffles.  The DuckDB oracle replays the identical
+    synthesis, filters and regex chain (Java-regex/RE2 common
+    subset), so the full cleaned text is string-exact-checked."""
+    from cuspatial_spark.textops.clean import (
+        c4_clean,
+        pii_scrub,
+        synth_messy_pages,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = synth_messy_pages(docs).select("doc_id", "page")
+    out = c4_clean(pages, text_col="page")
+    out = pii_scrub(out, text_col="c4_text", result="clean_text")
+    return out.select(
+        "doc_id", "c4_n_lines_kept", "c4_page_keep",
+        "n_emails", "n_ips", "n_phones", "clean_text",
     )
 
 
@@ -1531,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
         # round-5: real multimodal decode (imagecodec.py) + real BPE
+        "clean_text": q_clean_text,
         "audio_features": q_audio_features,
         "multimodal_decode": q_multimodal_decode,
         "bpe_tokens": q_bpe_tokens,
@@ -1570,7 +1600,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_canonical": q_lsh_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
-        "binary_metadata": q_binary_metadata,
         "nearest_points": q_nearest_points,
         "knn": q_knn,
         "pip_pairwise": q_pip_pairwise,
@@ -1600,6 +1629,12 @@ def _repetition_oracle() -> str:
     from cuspatial_spark.textops.repetition import repetition_oracle_sql
 
     return repetition_oracle_sql()
+
+
+def _clean_text_oracle() -> str:
+    from cuspatial_spark.textops.clean import clean_text_oracle_sql
+
+    return clean_text_oracle_sql()
 
 
 def _bpe_oracle() -> str:
@@ -2428,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_tokens": _bpe_oracle(),
         "repetition": _repetition_oracle(),
+        "clean_text": _clean_text_oracle(),
         "audio_features": """
             -- Re-derives the synth_audio closed-form sample law
             -- (flat interleaved sample i of clip g =
@@ -2484,25 +2520,31 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'png' END AS image_format
               FROM documents
             )
-            SELECT g AS doc_id, image_format, width, height, channels,
-                   avg((g * 31 + t.i * 7) % 251) AS px_mean,
-                   min((g * 31 + t.i * 7) % 251) AS px_min,
-                   max((g * 31 + t.i * 7) % 251) AS px_max
-            FROM imgs, UNNEST(range(0, width * height * channels)) AS t(i)
-            GROUP BY g, image_format, width, height, channels
-        """,
-        "binary_metadata": """
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS payload_bytes,
-                   md5(text) AS payload_md5,
-                   CASE WHEN text LIKE '<htm%' OR text LIKE '<!do%' THEN 'html'
-                        WHEN text LIKE 'GIF8%' THEN 'gif'
-                        WHEN text LIKE 'RIFF%' THEN 'riff'
-                        WHEN text LIKE 'P5%' THEN 'pgm'
-                        WHEN text LIKE 'P6%' THEN 'ppm'
-                        WHEN text LIKE 'BM%' THEN 'bmp'
-                        ELSE 'unknown' END AS payload_format
-            FROM documents
+            , feats AS (
+              SELECT g AS doc_id, image_format, width, height, channels,
+                     avg((g * 31 + t.i * 7) % 251) AS px_mean,
+                     min((g * 31 + t.i * 7) % 251) AS px_min,
+                     max((g * 31 + t.i * 7) % 251) AS px_max
+              FROM imgs, UNNEST(range(0, width * height * channels)) AS t(i)
+              GROUP BY g, image_format, width, height, channels
+            ),
+            -- binary_metadata consolidated into this slot (50-cap)
+            meta AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS payload_bytes,
+                     md5(text) AS payload_md5,
+                     CASE WHEN text LIKE '<htm%' OR text LIKE '<!do%' THEN 'html'
+                          WHEN text LIKE 'GIF8%' THEN 'gif'
+                          WHEN text LIKE 'RIFF%' THEN 'riff'
+                          WHEN text LIKE 'P5%' THEN 'pgm'
+                          WHEN text LIKE 'P6%' THEN 'ppm'
+                          WHEN text LIKE 'BM%' THEN 'bmp'
+                          ELSE 'unknown' END AS payload_format
+              FROM documents
+            )
+            SELECT feats.*, meta.payload_bytes, meta.payload_md5,
+                   meta.payload_format
+            FROM feats JOIN meta USING (doc_id)
         """,
         "pip_pairwise": f"""
             WITH {pts}, {segs},

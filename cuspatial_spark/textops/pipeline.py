@@ -53,14 +53,33 @@ def prepare_corpus(
     min_tokens: int = 8,
     near_dedup: bool = False,
     lsh_kwargs: dict | None = None,
+    c4: bool = False,
+    pii: bool = False,
 ) -> DataFrame:
     """Gate + dedup a raw document table into a training corpus.
 
     Returns the surviving rows with every signal column attached
     (lang_pred, quality, dup_line_frac, dup_line_char_frac,
-    top_bigram_frac, dup_bigram_frac, bpe_n_tokens).  See module doc
-    for the shuffle budget."""
+    top_bigram_frac, dup_bigram_frac, bpe_n_tokens).  With ``c4``,
+    the C4 line/page filters run FIRST (pages failing the page gate
+    drop; surviving pages are line-cleaned in place) and with ``pii``
+    the final text is PII-redacted (clean.py) — both stay inside the
+    same fused scan projection, so the shuffle budget in the module
+    doc is unchanged.  See module doc for the shuffle budget."""
+    if c4:
+        from .clean import c4_clean
+
+        docs = (
+            c4_clean(docs, text_col=text_col)
+            .where(F.col("c4_page_keep"))
+            .drop(text_col, "c4_page_keep")
+            .withColumnRenamed("c4_text", text_col)
+        )
     sig = corpus_signals(docs, text_col)
+    if pii:
+        from .clean import pii_scrub
+
+        sig = pii_scrub(sig, text_col=text_col, result="clean_text")
     gated = sig.where(
         (F.col("quality") >= F.lit(float(min_quality)))
         & (F.col("dup_line_frac") <= F.lit(float(max_dup_line_frac)))

@@ -922,8 +922,16 @@ def q_url_canon(spark, sf_dir):
     """URL canonicalization + URL-keyed dedup over synthetic crawl
     URLs derived per document (north-rule pages are keyed on url).
     Messy inputs exercise every rule: case, www, default port,
-    tracking params, fragments, trailing slashes."""
-    from cuspatial_spark.textops.urls import url_dedup
+    tracking params, fragments, trailing slashes.  Host-level crawl
+    aggregates (urls.py host_stats, computed over the PRE-dedup
+    canonical table) are joined back onto the surviving rows — the
+    domain-share / recrawl-factor signals a sampling stage reads."""
+    from cuspatial_spark.textops.urls import (
+        canonical_url,
+        host_expr,
+        host_stats,
+        url_dedup,
+    )
 
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -938,8 +946,14 @@ def q_url_canon(spark, sf_dir):
             F.lit("&fbclid=xyz#section"),
         ).alias("url"),
     )
-    return url_dedup(docs, order_col="doc_id").select(
+    stats = host_stats(canonical_url(docs), "canonical_url")
+    deduped = url_dedup(docs, order_col="doc_id").select(
         "doc_id", "canonical_url"
+    )
+    return deduped.withColumn(
+        "host", host_expr(F.col("canonical_url"))
+    ).join(stats, "host").select(
+        "doc_id", "canonical_url", "host", "host_rows", "host_urls"
     )
 
 
@@ -1254,6 +1268,47 @@ def q_clean_text(spark, sf_dir):
     )
 
 
+SEMDEDUP_CENTROIDS = [
+    [((i * 13 + j * 7) % 21 - 10) / 10.0 for j in range(64)] for i in range(8)
+]
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pruning (similarity/semdedup
+    .py): fixed 8x64 centroid grid pins the quantizer, so the DuckDB
+    oracle replays the exact squared-L2 argmin assignment (empirical
+    min margin 3.8e-4 at sf0.01 — 8 orders above FP divergence), the
+    within-cluster i<j cosine sweep, and the star keep-rule.  The
+    0.3 threshold drops 267/500 vectors at sf0.01; nearest pair sim
+    to the threshold is 6.9e-5 away, so the kept flag cannot flip on
+    rounding."""
+    import numpy as np
+
+    from cuspatial_spark.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _emb(spark, sf_dir),
+        centroids=np.array(SEMDEDUP_CENTROIDS),
+        threshold=0.3,
+    )
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round("nn_smaller_sim", 6).alias("nn_smaller_sim"),
+        "is_kept",
+    )
+
+
+def q_curve_keys(spark, sf_dir):
+    """Space-filling-curve key pair per event (driver 50-cap
+    consolidation of tile_assign + hilbert): the Morton/quadtree tile
+    key and the S2-style Hilbert key, joined on event_id so both
+    stay independently hash-checked."""
+    return q_tile_assign(spark, sf_dir).join(
+        q_hilbert(spark, sf_dir), "event_id"
+    )
+
+
 def q_binpreds3(spark, sf_dir):
     """Extended binpred matrix: polygon x polygon, point x linestring,
     linestring x polygon combos."""
@@ -1560,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
         # round-5: real multimodal decode (imagecodec.py) + real BPE
+        "semdedup": q_semdedup,
         "clean_text": q_clean_text,
         "audio_features": q_audio_features,
         "multimodal_decode": q_multimodal_decode,
@@ -1584,7 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         # long-green queries
         "spatial_window": q_spatial_window,
-        "tile_assign": q_tile_assign,
+        "curve_keys": q_curve_keys,
         "pip_join": q_pip_join,
         "pip_bits": q_pip_bits,
         "nearest_linestring": q_nearest_linestring,
@@ -1612,7 +1668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
-        "hilbert": q_hilbert,
     }
 
 
@@ -1629,6 +1684,47 @@ def _repetition_oracle() -> str:
     from cuspatial_spark.textops.repetition import repetition_oracle_sql
 
     return repetition_oracle_sql()
+
+
+def _semdedup_oracle() -> str:
+    """SQL replay of similarity/semdedup.py with the fixed centroid
+    grid: per-centroid squared-L2 distance as literal expressions,
+    argmin via (dist, cid) ordering (numpy argmin first-index
+    tie-break), then the within-cluster i<j cosine sweep and star
+    keep-rule."""
+    arms = []
+    for cid, c in enumerate(SEMDEDUP_CENTROIDS):
+        expr = " + ".join(
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - ({c[j]}))"
+            f" * (CAST(embedding[{j + 1}] AS DOUBLE) - ({c[j]}))"
+            for j in range(64)
+        )
+        arms.append(
+            f"SELECT vec_id, embedding, CAST({cid} AS BIGINT) AS cid,"
+            f" {expr} AS dist FROM embeddings"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH dists AS ({union}),
+        assign AS (
+          SELECT vec_id, embedding, cid AS cluster
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM dists)
+          WHERE rn = 1
+        ),
+        scored AS (
+          SELECT b.vec_id AS id_b,
+                 ({_dot_sql('a.embedding', 'b.embedding')})
+                 / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) AS s
+          FROM assign a JOIN assign b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ),
+        nn AS (SELECT id_b AS vec_id, max(s) AS m FROM scored GROUP BY id_b)
+        SELECT a.vec_id, a.cluster, round(nn.m, 6) AS nn_smaller_sim,
+               (coalesce(nn.m, -2) < 0.3) AS is_kept
+        FROM assign a LEFT JOIN nn USING (vec_id)
+    """
 
 
 def _clean_text_oracle() -> str:
@@ -2464,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _bpe_oracle(),
         "repetition": _repetition_oracle(),
         "clean_text": _clean_text_oracle(),
+        "semdedup": _semdedup_oracle(),
         "audio_features": """
             -- Re-derives the synth_audio closed-form sample law
             -- (flat interleaved sample i of clip g =
@@ -2964,8 +3061,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, canonical_url,
                      row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
               FROM canon
+            ),
+            stats AS (
+              SELECT regexp_extract(canonical_url, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host,
+                     count(*) AS host_rows,
+                     count(DISTINCT canonical_url) AS host_urls
+              FROM canon GROUP BY 1
             )
-            SELECT doc_id, canonical_url FROM ranked WHERE rn = 1
+            SELECT r.doc_id, r.canonical_url, s.host, s.host_rows, s.host_urls
+            FROM ranked r
+            JOIN stats s
+              ON regexp_extract(r.canonical_url, '^[a-z0-9+.-]+://([^/?]*)', 1) = s.host
+            WHERE r.rn = 1
         """,
     }
     # ------------------------------------------- consolidated oracles
@@ -3004,6 +3111,12 @@ def oracle_sql() -> dict[str, str]:
         WITH c0 AS ({o.pop("binpreds4")}), c1 AS ({o.pop("binpreds5")})
         SELECT c0.event_id, c0.pt_covers, c0.pt_within, c0.pt_touches,
                c1.pt_touches AS poly_pt_touches, c1.pt_covers AS poly_pt_covers
+        FROM c0 JOIN c1 USING (event_id)
+    """
+    o["curve_keys"] = f"""
+        WITH c0 AS ({o.pop("tile_assign")}), c1 AS ({o.pop("hilbert")})
+        SELECT c0.event_id, c0.morton_key, c0.tile,
+               c1.i, c1.j, c1.hilbert_key
         FROM c0 JOIN c1 USING (event_id)
     """
     o["doc_signatures"] = f"""

@@ -5,6 +5,7 @@ from .ann import (  # noqa: F401
     ivf_topk,
     train_centroids,
 )
+from .semdedup import semantic_dedup  # noqa: F401
 from .pq import (  # noqa: F401
     pq_encode,
     pq_reconstruct,

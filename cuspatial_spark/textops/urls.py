@@ -96,3 +96,44 @@ def url_dedup(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def host_expr(url: Column) -> Column:
+    """Host of a canonical URL (``scheme://host...``) — codegen
+    regexp; empty string for schemeless passthrough rows."""
+    return F.regexp_extract(url, r"^[a-z0-9+.-]+://([^/?]*)", 1)
+
+
+def host_stats(
+    df: DataFrame, url_col: str = "canonical_url"
+) -> DataFrame:
+    """Per-host crawl aggregates over a canonicalized URL column:
+    ``(host, host_rows, host_urls)`` — total captures and distinct
+    resources.  ``host_rows / host_urls`` is the host's recrawl
+    factor; ``host_rows`` alone is the domain-share signal quality
+    pipelines cap on (no single host should dominate a corpus).
+
+    One partial-aggregated hash shuffle on host; the distinct count
+    is exact (two-phase, per-host).  Host keys are Zipf-skewed on a
+    real crawl — the aggregate handles that (partial combine folds
+    each mapper's popular hosts first), but consumers joining the
+    result back should let AQE/broadcast pick the strategy, which
+    `with_host_signals` does by default."""
+    keyed = df.withColumn("host", host_expr(F.col(url_col)))
+    return keyed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("host_rows"),
+        F.countDistinct(url_col).alias("host_urls"),
+    )
+
+
+def with_host_signals(
+    df: DataFrame, url_col: str = "canonical_url"
+) -> DataFrame:
+    """Attach each row's host-level aggregates as columns
+    (host, host_rows, host_urls) — the domain-balance features a
+    sampling/filter stage reads.  Two scans of ``df`` (one for the
+    stats aggregate, one for the join); the stats side shrinks to
+    one row per host, so at 100 TB the join is hosts-vs-corpus and
+    AQE turns it into a broadcast for any realistic host count."""
+    keyed = df.withColumn("host", host_expr(F.col(url_col)))
+    return keyed.join(host_stats(df, url_col), "host")

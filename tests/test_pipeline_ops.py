@@ -932,3 +932,48 @@ class TestUrlOps:
         for r in rows:
             if "://" not in r["orig"]:
                 assert r["url"] == r["orig"]
+
+
+class TestHostStats:
+    def _crawl(self, spark):
+        rows = [
+            # a.com: 3 captures of 2 resources (recrawl factor 1.5)
+            (0, "https://WWW.a.com/p1"),
+            (1, "https://a.com:443/p1"),
+            (2, "https://a.com/p2"),
+            # b.org: 1 capture
+            (3, "http://b.org/only"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    def test_host_stats_counts(self, spark):
+        from cuspatial_spark.textops.urls import canonical_url, host_stats
+
+        got = {
+            r["host"]: (r["host_rows"], r["host_urls"])
+            for r in host_stats(canonical_url(self._crawl(spark))).collect()
+        }
+        assert got == {"a.com": (3, 2), "b.org": (1, 1)}
+
+    def test_with_host_signals_attaches_per_row(self, spark):
+        from cuspatial_spark.textops.urls import canonical_url, with_host_signals
+
+        out = with_host_signals(canonical_url(self._crawl(spark))).collect()
+        assert len(out) == 4
+        for r in out:
+            if r["host"] == "a.com":
+                assert (r["host_rows"], r["host_urls"]) == (3, 2)
+            else:
+                assert (r["host_rows"], r["host_urls"]) == (1, 1)
+
+    def test_host_expr_codegen_only(self, spark):
+        """host extraction adds no shuffle and no Python stage."""
+        from cuspatial_spark.textops.urls import canonical_url, host_expr
+        from pyspark.sql import functions as F
+
+        df = canonical_url(self._crawl(spark)).withColumn(
+            "host", host_expr(F.col("canonical_url"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan

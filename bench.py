@@ -72,7 +72,9 @@ def _store_calibration(calib: dict) -> None:
 
 HEADLINE = [
     "pip_join",
-    "tile_assign",
+    # tile_assign consolidated into curve_keys (joined with the
+    # Hilbert key query) for the driver's 50-entry correctness cap
+    "curve_keys",
     "nearest_linestring",
     "spatial_window",
     "trajectory_speeds",
@@ -107,6 +109,11 @@ HEADLINE = [
     "multimodal_decode",
     # round 5b: real WAV decode (RIFF/PCM mapInPandas)
     "audio_features",
+    # round 5c: C4+PII page cleaning (codegen regex chain) and
+    # SemDeDup cluster-bounded semantic pruning (assign pandas_udf +
+    # within-cluster cosine equi-join)
+    "clean_text",
+    "semdedup",
 ]
 
 

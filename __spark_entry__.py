@@ -925,10 +925,13 @@ def q_url_canon(spark, sf_dir):
     tracking params, fragments, trailing slashes.  Host-level crawl
     aggregates (urls.py host_stats, computed over the PRE-dedup
     canonical table) are joined back onto the surviving rows — the
-    domain-share / recrawl-factor signals a sampling stage reads."""
+    domain-share / recrawl-factor signals a sampling stage reads —
+    and host_sample then applies the domain-balance cap (3 docs per
+    host, earliest doc_id wins; salted two-phase top-k)."""
     from cuspatial_spark.textops.urls import (
         canonical_url,
         host_expr,
+        host_sample,
         host_stats,
         url_dedup,
     )
@@ -950,10 +953,12 @@ def q_url_canon(spark, sf_dir):
     deduped = url_dedup(docs, order_col="doc_id").select(
         "doc_id", "canonical_url"
     )
-    return deduped.withColumn(
+    joined = deduped.withColumn(
         "host", host_expr(F.col("canonical_url"))
-    ).join(stats, "host").select(
-        "doc_id", "canonical_url", "host", "host_rows", "host_urls"
+    ).join(stats, "host")
+    return host_sample(joined, cap=3, order_col="doc_id").select(
+        "doc_id", "canonical_url", "host", "host_rows", "host_urls",
+        "host_rank",
     )
 
 
@@ -3067,12 +3072,22 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS host_rows,
                      count(DISTINCT canonical_url) AS host_urls
               FROM canon GROUP BY 1
+            ),
+            joined AS (
+              SELECT r.doc_id, r.canonical_url, s.host, s.host_rows, s.host_urls
+              FROM ranked r
+              JOIN stats s
+                ON regexp_extract(r.canonical_url, '^[a-z0-9+.-]+://([^/?]*)', 1) = s.host
+              WHERE r.rn = 1
+            ),
+            -- host_sample: domain-balance cap, 3 per host by doc_id
+            capped AS (
+              SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                        AS host_rank
+              FROM joined
             )
-            SELECT r.doc_id, r.canonical_url, s.host, s.host_rows, s.host_urls
-            FROM ranked r
-            JOIN stats s
-              ON regexp_extract(r.canonical_url, '^[a-z0-9+.-]+://([^/?]*)', 1) = s.host
-            WHERE r.rn = 1
+            SELECT doc_id, canonical_url, host, host_rows, host_urls, host_rank
+            FROM capped WHERE host_rank <= 3
         """,
     }
     # ------------------------------------------- consolidated oracles

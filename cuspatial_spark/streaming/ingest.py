@@ -41,13 +41,31 @@ def ingest_pages(
     langs: list[str] | None = None,
     polygons=None,
     keep_columns: list[str] | None = None,
+    c4: bool = False,
+    pii: bool = False,
 ) -> DataFrame:
     """Returns the tiled (or, with ``polygons``, polygon-joined) page
     stream.  ``pages`` may be a static OR streaming DataFrame — the
-    plan is identical (every stage stateless)."""
+    plan is identical (every stage stateless).  ``c4``/``pii`` slot
+    the C4 line/page filters and PII redaction (textops/clean.py —
+    codegen regex chains, stateless) between extraction and the
+    gates, so the streaming property is preserved."""
     from pyspark.sql import functions as F
 
     out = extract_text(pages, "html", result="extracted_text")
+    if c4:
+        from ..textops.clean import c4_clean
+
+        out = (
+            c4_clean(out, text_col="extracted_text")
+            .where(F.col("c4_page_keep"))
+            .drop("extracted_text", "c4_page_keep")
+            .withColumnRenamed("c4_text", "extracted_text")
+        )
+    if pii:
+        from ..textops.clean import pii_scrub
+
+        out = pii_scrub(out, text_col="extracted_text", result="clean_text")
     out = quality_score(out, text_col="extracted_text")
     out = language_id(out, text_col="extracted_text")
     if min_quality > 0.0:

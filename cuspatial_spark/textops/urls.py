@@ -137,3 +137,44 @@ def with_host_signals(
     AQE turns it into a broadcast for any realistic host count."""
     keyed = df.withColumn("host", host_expr(F.col(url_col)))
     return keyed.join(host_stats(df, url_col), "host")
+
+
+def host_sample(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "canonical_url",
+    order_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per host — the domain-balance cap a
+    corpus applies so no site dominates training data.  Keepers are
+    the ``cap`` smallest rows by ``order_col`` (defaults to the URL
+    string), so the result is deterministic.
+
+    Skew is the whole problem here: host keys on a real crawl are
+    Zipf-distributed, and a naive window over ``host`` lands a hot
+    host's every row on one reduce task.  This runs TWO phases, the
+    same shape as the trajectory prefix-sum: phase 1 windows over
+    (host, salt) — salt = a hash of the order key mod ``n_salts`` —
+    which splits a hot host across ``n_salts`` tasks and keeps only
+    ``cap`` rows per salt; phase 2 windows over host on the
+    <= cap * n_salts survivors.  The global top-``cap`` by order is
+    always contained in the union of per-salt top-``cap``s, so the
+    result is identical to the one-phase window while the second
+    shuffle moves O(hosts * cap * n_salts) rows, not the corpus."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("host", host_expr(F.col(url_col)))
+    order = F.col(order_col) if order_col else F.col(url_col)
+    salt = F.pmod(F.xxhash64(order.cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy("host", salt).orderBy(order)
+    pruned = (
+        keyed.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= cap)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(order)
+    return (
+        pruned.withColumn("host_rank", F.row_number().over(w2))
+        .where(F.col("host_rank") <= cap)
+    )

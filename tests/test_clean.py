@@ -121,3 +121,56 @@ class TestPipelineIntegration:
         ids = sorted(r.doc_id for r in out.collect())
         assert ids == [0]  # brace page gated, duplicate deduped
         assert "clean_text" in out.columns
+
+
+class TestStreamingClean:
+    def test_streaming_c4_pii_matches_batch(self, spark, tmp_path):
+        """c4_clean + pii_scrub are stateless codegen, so the ingest
+        pipeline with c4/pii on drains a stream to exactly the batch
+        rows — including the page-gate drops and redacted text."""
+        from pyspark.sql import functions as F
+
+        from cuspatial_spark.streaming.ingest import ingest_pages
+        from cuspatial_spark.textops.clean import synth_messy_pages
+        from cuspatial_spark.textops.extract import wrap_html
+
+        docs = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+        )
+        pages = synth_messy_pages(docs).select("doc_id", "page")
+        pages = wrap_html(pages, text_col="page", id_col="doc_id")
+        src_df = pages.select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example/p/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.col("html").cast("binary").alias("html"),
+            F.col("page").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        src = str(tmp_path / "messy_pages")
+        src_df.write.parquet(src)
+        static = spark.read.parquet(src)
+        stream = spark.readStream.schema(static.schema).parquet(src)
+
+        kw = dict(
+            x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0,
+            scale=8.0 / 258, max_depth=8, tile_level=3,
+            c4=True, pii=True,
+        )
+        q = (
+            ingest_pages(stream, **kw)
+            .writeStream.format("memory").queryName("clean_ingest")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT url, clean_text FROM clean_ingest"
+        ).toPandas()
+        want = ingest_pages(static, **kw).select("url", "clean_text").toPandas()
+        # some pages fail the C4 page gate, none slip through
+        assert 0 < len(want) < 400
+        assert len(got) == len(want)
+        assert set(zip(got.url, got.clean_text)) == set(zip(want.url, want.clean_text))
+        # redaction really happened in the streamed rows
+        assert not got.clean_text.str.contains("@").any()

@@ -977,3 +977,56 @@ class TestHostStats:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestHostSample:
+    def _skewed(self, spark, n_hot=200, n_cold=5):
+        rows = [(i, f"https://hot.com/p{i}") for i in range(n_hot)]
+        rows += [(1000 + i, f"https://cold{i}.org/x") for i in range(n_cold)]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    def test_cap_and_determinism(self, spark):
+        from cuspatial_spark.textops.urls import canonical_url, host_sample
+
+        df = canonical_url(self._skewed(spark))
+        out = host_sample(df, cap=3, order_col="doc_id").toPandas()
+        hot = out[out.host == "hot.com"].sort_values("host_rank")
+        # exactly cap rows, the cap smallest doc_ids, ranked 1..cap
+        assert list(hot.doc_id) == [0, 1, 2]
+        assert list(hot.host_rank) == [1, 2, 3]
+        # cold hosts keep their single row
+        assert len(out) == 3 + 5
+
+    def test_two_phase_equals_one_phase(self, spark):
+        """The salted two-phase result must equal a plain window —
+        for every salting width."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cuspatial_spark.textops.urls import (
+            canonical_url,
+            host_expr,
+            host_sample,
+        )
+
+        df = canonical_url(self._skewed(spark, n_hot=57, n_cold=3))
+        w = Window.partitionBy(
+            host_expr(F.col("canonical_url"))
+        ).orderBy("doc_id")
+        expect = (
+            df.withColumn("host_rank", F.row_number().over(w))
+            .where(F.col("host_rank") <= 4)
+            .select("doc_id", "host_rank")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for n_salts in (1, 2, 16):
+            got = (
+                host_sample(df, cap=4, order_col="doc_id", n_salts=n_salts)
+                .select("doc_id", "host_rank")
+                .toPandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert got.equals(expect), n_salts

@@ -88,31 +88,45 @@ def _sweep_group(
         nsq += E[:, k] * E[:, k]
     norms = np.sqrt(nsq)
 
-    # dim-contiguous layout so each rank-1 update streams cache lines
-    cols = np.ascontiguousarray(E.T)
+    # Two passes.  SCREEN: a BLAS similarity block (cache-blocked
+    # dgemm — compute-bound, unlike a dim-major rank-1 loop which is
+    # pure memory traffic and stops scaling past a few cores) finds
+    # each row's near-argmax candidate set.  EXACT: only those pairs
+    # (~1 per row) are recomputed with the sequential dim-major
+    # accumulation the SQL oracle uses, vectorized ACROSS pairs, so
+    # the returned value is still bit-identical to the relational
+    # re-derivation.  BLAS-vs-sequential drift is bounded ~1e-12 for
+    # unit vectors; the 1e-9 screen tolerance leaves 3 orders of
+    # margin, so the true sequential max is always among the
+    # candidates.  (Worst case — many exactly-tied maxima, e.g. a
+    # cluster of identical vectors — recomputes each tie, degrading
+    # toward O(m^2) sequential work only for degenerate inputs.)
+    unit = E / norms[:, None]
     nn = np.full(m, np.nan)
     block = max(1, _BLOCK_CELLS // max(m, 1))
-    # one-time scratch, reused as views by every block (in-place ops
-    # only — see _BLOCK_CELLS note on allocation cost)
-    buf_dot = np.empty((min(block, m), max(m - 1, 1)))
-    buf_tmp = np.empty_like(buf_dot)
+    buf_s = np.empty((min(block, m), max(m - 1, 1)))
     for r0 in range(1, m, block):
         r1 = min(r0 + block, m)
-        b, width = r1 - r0, r1 - 1  # row j only needs columns < j
-        dot = buf_dot[:b, :width]
-        tmp = buf_tmp[:b, :width]
-        dot.fill(0.0)
-        for k in range(dim):
-            np.multiply(
-                cols[k, r0:r1, None], cols[k, None, :width], out=tmp
-            )
-            dot += tmp
-        # sims = dot / (norm_a * norm_b), computed in place with the
-        # identical expression order as the SQL oracle
-        np.multiply(norms[r0:r1, None], norms[None, :width], out=tmp)
-        np.divide(dot, tmp, out=dot)
+        width = r1 - 1  # row j only needs columns < j
+        S = buf_s[: r1 - r0, :width]
+        np.matmul(unit[r0:r1], unit[:width].T, out=S)
+        rows_idx, cands = [], []
         for j in range(r0, r1):
-            nn[j] = dot[j - r0, :j].max()
+            row = S[j - r0, :j]
+            c = np.nonzero(row >= row.max() - 1e-9)[0]
+            rows_idx.append(np.full(len(c), j))
+            cands.append(c)
+        ja = np.concatenate(rows_idx)
+        jb = np.concatenate(cands)
+        # exact sequential-order cosines for the candidate pairs only
+        acc = np.zeros(len(ja))
+        A, B = E[ja], E[jb]
+        for k in range(dim):
+            acc += A[:, k] * B[:, k]
+        exact = acc / (norms[ja] * norms[jb])
+        best = np.full(m, -np.inf)
+        np.maximum.at(best, ja, exact)
+        nn[r0:r1] = best[r0:r1]
     kept = np.where(np.isnan(nn), True, nn < threshold)
     return nn, kept
 

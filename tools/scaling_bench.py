@@ -37,6 +37,11 @@ LEVELS = tuple(int(v) for v in os.environ.get('SCALING_LEVELS', '8,32').split(',
 JOB = os.environ.get("SCALING_JOB", "pip")
 N_EXTRACT = int(os.environ.get("SCALING_N_EXTRACT", "4000000"))
 N_BPE = int(os.environ.get("SCALING_N_BPE", "4000000"))
+# 'semdedup': cluster-bounded semantic pruning over a synthetic
+# embedding table — K centroids >> cores so the per-cluster sweep
+# tasks saturate every level being compared
+N_SEMDEDUP = int(os.environ.get("SCALING_N_SEMDEDUP", "400000"))
+K_SEMDEDUP = int(os.environ.get("SCALING_K_SEMDEDUP", "256"))
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))  # min-of-N per level
 AOI = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0)
 
@@ -174,6 +179,55 @@ def run_child(cpus: int) -> None:
         spark.stop()
         return
 
+    if JOB == "semdedup":
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from cuspatial_spark.similarity import semantic_dedup
+
+        dim = 64
+        i = F.col("id")
+        # xxhash64-mixed coordinates: iid-uniform-ish in [-1, 1), so
+        # clusters balance across the K centroids and the sweep load
+        # spreads — a linear-congruential law here repeats with short
+        # period and degenerates the benchmark into duplicate soup
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(i, j), F.lit(2000)).cast("double") / 1000.0
+                - 1.0
+            ),
+        )
+        emb = (
+            spark.range(0, N_SEMDEDUP, 1, cpus * 4)
+            .select(i.alias("vec_id"), vec.alias("embedding"))
+            .cache()
+        )
+        emb.count()
+        rng = np.random.default_rng(11)
+        cts = rng.uniform(-1.0, 1.0, size=(K_SEMDEDUP, dim))
+
+        def job():
+            return semantic_dedup(
+                emb, centroids=cts, threshold=0.95
+            ).agg(F.sum(F.col("is_kept").cast("long")).alias("kept"))
+
+        job().collect()  # warmup
+        runs = []
+        kept = 0
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            kept = job().collect()[0]["kept"]
+            runs.append(time.perf_counter() - t0)
+        dt = min(runs)
+        print(json.dumps({"cpus": cpus, "seconds": round(dt, 3),
+                          "all_runs": [round(r, 3) for r in runs],
+                          "rows": N_SEMDEDUP, "kept": int(kept),
+                          "clusters": K_SEMDEDUP,
+                          "rows_per_sec": round(N_SEMDEDUP / dt, 1)}))
+        spark.stop()
+        return
+
     polys = _scaled_polygons()
     pts = _points(spark, N_PAGES, partitions=cpus * 4).cache()
     pts.count()  # materialize input before timing
@@ -226,8 +280,10 @@ def main() -> None:
             "pip": "tile-filtered point-in-polygon join (cached input)",
             "extract": "HTML->text extraction (cached input)",
             "bpe": "merge-table BPE tokenization (cached input)",
+            "semdedup": "SemDeDup cluster sweep (cached input)",
         }[JOB],
-        "rows": {"pip": N_PAGES, "extract": N_EXTRACT, "bpe": N_BPE}[JOB],
+        "rows": {"pip": N_PAGES, "extract": N_EXTRACT, "bpe": N_BPE,
+                 "semdedup": N_SEMDEDUP}[JOB],
         f"local[{n}]": results[n],
         f"local[{m}]": results[m],
         "scaling_efficiency": round(eff, 3),

@@ -1229,6 +1229,47 @@ def q_multipoint_ops(spark, sf_dir):
     )
 
 
+def q_video_features(spark, sf_dir):
+    """REAL video decode end-to-end: synth_videos builds genuine Y4M
+    (Cmono/C444) and uncompressed-AVI byte payloads per document
+    (closed-form sample law: flat sample i of the (n, h, w, c) clip
+    array of id g is (g*29 + i*13) % 247), video_features decodes them
+    with the dependency-free codec (videocodec.py) and emits
+    fps/frame-count/dims/pixel-stats/motion-energy — which the DuckDB
+    oracle re-derives straight from the sample law, so stream-header
+    parsing, FRAME records, RIFF list walking, bottom-up DIB row
+    order, BGR swap and 4-byte stride padding are all hash-checked."""
+    from cuspatial_spark.multimodal import synth_videos, video_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clips = synth_videos(docs, id_col="doc_id")
+    return video_features(clips, id_cols=("doc_id",)).select(
+        "doc_id", "video_format", "fps", "n_frames", "width", "height",
+        "channels", "px_mean", "px_min", "px_max", "motion_mean",
+    )
+
+
+def q_trajectory_stats(spark, sf_dir):
+    """Consolidates trajectory_bboxes + trajectory_speeds (driver
+    50-cap): both aggregate the same object-id shuffle, joined back on
+    user_id so each stays independently hash-checked."""
+    from cuspatial_spark.operators import (
+        trajectory_bounding_boxes,
+        trajectory_distances_and_speeds,
+    )
+
+    pts = _points(spark, sf_dir)
+    bboxes = trajectory_bounding_boxes(pts, object_id="user_id")
+    speeds = trajectory_distances_and_speeds(
+        pts.withColumnRenamed("ts", "timestamp"), object_id="user_id"
+    ).select(
+        "user_id",
+        F.round("distance", 5).alias("distance"),
+        F.round("speed", 5).alias("speed"),
+    )
+    return bboxes.join(speeds, "user_id")
+
+
 def q_audio_features(spark, sf_dir):
     """REAL WAV decode end-to-end: synth_audio builds genuine
     RIFF/PCM-16 payloads per document (closed-form sample law: flat
@@ -1620,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
         # round-5: real multimodal decode (imagecodec.py) + real BPE
+        "video_features": q_video_features,
         "semdedup": q_semdedup,
         "clean_text": q_clean_text,
         "audio_features": q_audio_features,
@@ -1652,8 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_progressive": q_nearest_progressive,
         "quadtree": q_quadtree,
         "quadtree_bbox_join": q_quadtree_bbox_join,
-        "trajectory_bboxes": q_trajectory_bboxes,
-        "trajectory_speeds": q_trajectory_speeds,
+        "trajectory_stats": q_trajectory_stats,
         "hausdorff": q_hausdorff,
         "exact_dedup": q_exact_dedup,
         "minhash": q_minhash,
@@ -2260,13 +2301,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ll
         """,
         "utm": _utm_oracle_sql(pts),
-        "trajectory_bboxes": f"""
-            WITH {pts}
-            SELECT user_id, min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
-            FROM pts GROUP BY user_id
-        """,
-        "trajectory_speeds": f"""
+        "trajectory_stats": f"""
             WITH {pts},
+            boxes AS (
+              SELECT user_id, min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+              FROM pts GROUP BY user_id
+            ),
             stepped AS (
               SELECT user_id,
                      sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
@@ -2274,13 +2314,17 @@ def oracle_sql() -> dict[str, str]:
                      epoch(ts) AS tsec
               FROM pts
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            speeds AS (
+              SELECT user_id,
+                     round(COALESCE(sum(step), 0) * 1000.0, 5) AS distance,
+                     round(CASE WHEN max(tsec) - min(tsec) > 0
+                           THEN COALESCE(sum(step), 0) * 1000.0 / (max(tsec) - min(tsec))
+                           ELSE 0.0 END, 5) AS speed
+              FROM stepped GROUP BY user_id
             )
-            SELECT user_id,
-                   round(COALESCE(sum(step), 0) * 1000.0, 5) AS distance,
-                   round(CASE WHEN max(tsec) - min(tsec) > 0
-                         THEN COALESCE(sum(step), 0) * 1000.0 / (max(tsec) - min(tsec))
-                         ELSE 0.0 END, 5) AS speed
-            FROM stepped GROUP BY user_id
+            SELECT boxes.*, speeds.distance, speeds.speed
+            FROM boxes JOIN speeds USING (user_id)
         """,
         "hausdorff": f"""
             WITH {pts},
@@ -2566,6 +2610,50 @@ def oracle_sql() -> dict[str, str]:
         "repetition": _repetition_oracle(),
         "clean_text": _clean_text_oracle(),
         "semdedup": _semdedup_oracle(),
+        "video_features": """
+            -- Re-derives the synth_videos closed-form sample law
+            -- (flat sample i of the (n, h, w, c) clip array of id g =
+            -- (g*29 + i*13) % 247) so the Spark side's REAL decode of
+            -- real Y4M / uncompressed-AVI bytes is checked
+            -- header-to-raster against first principles.  Motion =
+            -- mean |v(i) - v(i - h*w*c)| over i >= h*w*c (temporally
+            -- adjacent samples); all sums are exact integers < 2^53
+            -- so the float divisions are bit-identical to numpy's.
+            WITH clips AS (
+              SELECT doc_id AS g,
+                     2 + doc_id % 5 AS n_frames,
+                     4 + doc_id % 9 AS width,
+                     3 + doc_id % 7 AS height,
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+                     CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
+                          WHEN 2 THEN 25 ELSE 50 END AS DOUBLE) AS fps,
+                     CASE WHEN doc_id % 3 = 2 THEN 'avi' ELSE 'y4m' END AS video_format
+              FROM documents
+            ),
+            samp AS (
+              SELECT g, n_frames, width, height, channels, fps, video_format, t.i,
+                     (g * 29 + t.i * 13) % 247 AS v
+              FROM clips, UNNEST(range(0, n_frames * width * height * channels)) AS t(i)
+            ),
+            agg AS (
+              SELECT g, video_format, fps, n_frames, width, height, channels,
+                     CAST(sum(v) AS DOUBLE) / count(*) AS px_mean,
+                     min(v) AS px_min, max(v) AS px_max
+              FROM samp
+              GROUP BY g, video_format, fps, n_frames, width, height, channels
+            ),
+            mot AS (
+              SELECT a.g,
+                     CAST(sum(abs(a.v - b.v)) AS DOUBLE) / count(*) AS motion_mean
+              FROM samp a JOIN samp b
+                ON b.g = a.g AND b.i = a.i - a.height * a.width * a.channels
+              GROUP BY a.g
+            )
+            SELECT agg.g AS doc_id, video_format, fps, n_frames, width, height,
+                   channels, px_mean, px_min, px_max,
+                   COALESCE(mot.motion_mean, 0.0) AS motion_mean
+            FROM agg LEFT JOIN mot ON mot.g = agg.g
+        """,
         "audio_features": """
             -- Re-derives the synth_audio closed-form sample law
             -- (flat interleaved sample i of clip g =

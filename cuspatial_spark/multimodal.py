@@ -8,10 +8,13 @@ PIL/libjpeg in this environment), and ``image_features`` /
 AUDIO path is REAL too: ``audiocodec.decode_wav`` parses RIFF/WAVE
 PCM (8/16/24/32-bit + IEEE float) with stdlib struct + numpy, and
 ``audio_features`` featurizes decoded frames (rate, duration, rms,
-zero crossings).  VIDEO remains STUBBED (``_decode_stub`` interprets
-bytes as a raw signal) — swap for pyav in production; the Spark-side
-plumbing (schema, batching, 1:N frame fan-out, partitioning) is the
-part that carries to 100 TB and is real and tested either way.
+zero crossings).  The VIDEO path is REAL for uncompressed containers:
+``videocodec.decode_video`` parses YUV4MPEG2 (mono/444/420) and raw-DIB
+RIFF/AVI streams frame-exactly; compressed codecs (H.264 et al.) stay
+out of scope — swap ``decode_video`` for pyav in production, every
+Spark-side shape (mapInPandas batching, 1:N frame fan-out,
+partitioning) is identical either way.  ``_decode_stub`` remains only
+as the degrade-to-bytes fallback for unrecognized payloads.
 """
 
 from __future__ import annotations
@@ -335,6 +338,160 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payload = encode_bmp(px)
                 else:
                     payload = encode_png(px)
+                rows.append((g, payload))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return src.mapInPandas(run, schema=schema)
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("video_format", StringType(), False),
+        StructField("fps", DoubleType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("px_mean", DoubleType(), False),
+        StructField("px_min", LongType(), False),
+        StructField("px_max", LongType(), False),
+        StructField("motion_mean", DoubleType(), False),
+    ]
+)
+
+
+def video_features(
+    df: DataFrame, bin_col: str = "payload", id_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """REAL video decode -> per-clip features, Arrow-batched.
+
+    Decodes YUV4MPEG2 (Cmono/C444/C420) and uncompressed RIFF/AVI
+    (raw bottom-up DIB frames) from first principles — see
+    videocodec.py — and emits (format, fps, frame count, dims,
+    whole-clip pixel mean/min/max, motion energy = mean absolute
+    temporal difference).  ``id_cols`` are carried through so the
+    output joins back to its source rows.  Undecodable payloads
+    raise, like a production decoder would.  Map-only pass — no
+    shuffle, no state, cost linear in corpus bytes; partition
+    parallelism is the scale axis at 100 TB."""
+    from .videocodec import decode_video, video_stats
+
+    keep = list(id_cols)
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in keep] + list(VIDEO_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                fmt, fps, frames = decode_video(bytes(pdf[bin_col].iloc[idx]))
+                s = video_stats(frames)
+                n, h, w, c = frames.shape
+                rows.append(
+                    tuple(pdf[k].iloc[idx] for k in keep)
+                    + (
+                        fmt,
+                        float(fps),
+                        int(n),
+                        int(w),
+                        int(h),
+                        int(c),
+                        s["px_mean"],
+                        s["px_min"],
+                        s["px_max"],
+                        s["motion_mean"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=keep + [f.name for f in VIDEO_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def video_frames(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_cols: tuple[str, ...] = (),
+    stride: int = 1,
+) -> DataFrame:
+    """REAL frame sampling: decode each clip and emit one row per
+    sampled frame (every ``stride``-th), the 1:N mapInPandas fan-out a
+    frame-level training pipeline consumes.  Per-frame stats are
+    vectorized NumPy over the decoded raster."""
+    from .videocodec import decode_video
+
+    keep = list(id_cols)
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in keep]
+        + [
+            StructField("frame_idx", LongType(), False),
+            StructField("frame_mean", DoubleType(), False),
+            StructField("frame_min", LongType(), False),
+            StructField("frame_max", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                _, _, frames = decode_video(bytes(pdf[bin_col].iloc[idx]))
+                ids = tuple(pdf[k].iloc[idx] for k in keep)
+                flat = frames.reshape(frames.shape[0], -1).astype(np.int64)
+                for fi in range(0, frames.shape[0], stride):
+                    rows.append(
+                        ids
+                        + (
+                            fi,
+                            float(flat[fi].sum() / flat[fi].size),
+                            int(flat[fi].min()),
+                            int(flat[fi].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=keep + ["frame_idx", "frame_mean", "frame_min", "frame_max"],
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL encoded video clips, one per input row: id
+    ``g`` gets ``2 + g%5`` frames of ``(4 + g%9) x (3 + g%7)`` pixels
+    with ``1`` (g%3==0) or ``3`` channels, at ``[10,20,25,50][g%4]``
+    fps, where flat sample ``i`` of the (n, h, w, c) clip array is
+    ``(g*29 + i*13) % 247``.  Encoded round-robin as Y4M Cmono / Y4M
+    C444 / uncompressed AVI (g % 3; mono clips in AVI slots use 8-bit
+    DIBs).  The closed-form sample law makes decoded stats
+    SQL-checkable without a SQL decoder — the fixture side of the
+    video_features oracle."""
+    from .videocodec import encode_avi, encode_y4m
+
+    src = df.select(F.col(id_col).cast("long").alias(id_col))
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for g in pdf[id_col]:
+                g = int(g)
+                n, w, h = 2 + g % 5, 4 + g % 9, 3 + g % 7
+                c = 1 if g % 3 == 0 else 3
+                fps = (10, 20, 25, 50)[g % 4]
+                i = np.arange(n * h * w * c, dtype=np.int64)
+                frames = ((g * 29 + i * 13) % 247).astype(np.uint8).reshape(n, h, w, c)
+                if g % 3 == 2:
+                    payload = encode_avi(frames, float(fps))
+                else:
+                    payload = encode_y4m(frames, fps, 1)
                 rows.append((g, payload))
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 

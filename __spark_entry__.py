@@ -1345,13 +1345,35 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_s2_cells(spark, sf_dir):
+    """True spherical cell ids: S2 cube-face projection + quadratic
+    st transform + Morton in-face ordering, all pure codegen
+    (functions/expressions.py s2_cell_expr).  Events are mapped onto
+    globe-spanning lon/lat so all six cube faces are exercised."""
+    from cuspatial_spark.functions import with_s2_cell
+
+    pts = _points(spark, sf_dir).select(
+        "event_id",
+        (F.col("x") * 45.0 - 180.0).alias("lon"),
+        (F.col("y") * 20.0 - 80.0).alias("lat"),
+    )
+    return with_s2_cell(pts, "lon", "lat", 12).select(
+        "event_id",
+        "s2_cell",
+        F.shiftright("s2_cell", 24).alias("s2_face"),
+    )
+
+
 def q_curve_keys(spark, sf_dir):
-    """Space-filling-curve key pair per event (driver 50-cap
-    consolidation of tile_assign + hilbert): the Morton/quadtree tile
-    key and the S2-style Hilbert key, joined on event_id so both
-    stay independently hash-checked."""
-    return q_tile_assign(spark, sf_dir).join(
-        q_hilbert(spark, sf_dir), "event_id"
+    """Space-filling-curve key triple per event (driver 50-cap
+    consolidation of tile_assign + hilbert + s2_cells): the planar
+    Morton/quadtree tile key, the Hilbert key, and the spherical
+    S2-style cell id, joined on event_id so each stays independently
+    hash-checked."""
+    return (
+        q_tile_assign(spark, sf_dir)
+        .join(q_hilbert(spark, sf_dir), "event_id")
+        .join(q_s2_cells(spark, sf_dir), "event_id")
     )
 
 
@@ -3216,11 +3238,69 @@ def oracle_sql() -> dict[str, str]:
                c1.pt_touches AS poly_pt_touches, c1.pt_covers AS poly_pt_covers
         FROM c0 JOIN c1 USING (event_id)
     """
+    # s2_cells: replay of functions/expressions.py s2_cell_expr — the
+    # standard S2 cube-face projection (s2coords.h face/uv tables),
+    # quadratic uv->st transform, level-12 quantization, and the
+    # 16-bit Morton dilation chain, all as DuckDB arithmetic.  Every
+    # float op (cos/sin/divide/sqrt/floor) is IEEE-double on both
+    # sides, so cell ids match bit-for-bit away from cell boundaries
+    # (boundary-hit probability ~ulp x grid ~ 4e-13 per row).
+    s2_sql = f"""
+        WITH {pts},
+        ll AS (SELECT event_id, x * 45.0 - 180.0 AS lon, y * 20.0 - 80.0 AS lat FROM pts),
+        xyz AS (
+          SELECT event_id,
+                 cos(radians(lat)) * cos(radians(lon)) AS px,
+                 cos(radians(lat)) * sin(radians(lon)) AS py,
+                 sin(radians(lat)) AS pz
+          FROM ll
+        ),
+        fc AS (
+          SELECT event_id, px, py, pz,
+                 CASE WHEN abs(pz) >= abs(px) AND abs(pz) >= abs(py)
+                      THEN CASE WHEN pz > 0 THEN 2 ELSE 5 END
+                      WHEN abs(py) >= abs(px)
+                      THEN CASE WHEN py > 0 THEN 1 ELSE 4 END
+                      ELSE CASE WHEN px > 0 THEN 0 ELSE 3 END END AS face
+          FROM xyz
+        ),
+        uv AS (
+          SELECT event_id, face,
+                 CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+                      WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u,
+                 CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+                      WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v
+          FROM fc
+        ),
+        ij AS (
+          SELECT event_id, face,
+                 greatest(0, least(CAST(floor(
+                   (CASE WHEN u >= 0 THEN sqrt(1 + 3*u)*0.5
+                         ELSE 1 - sqrt(1 - 3*u)*0.5 END) * 4096) AS BIGINT), 4095)) AS i,
+                 greatest(0, least(CAST(floor(
+                   (CASE WHEN v >= 0 THEN sqrt(1 + 3*v)*0.5
+                         ELSE 1 - sqrt(1 - 3*v)*0.5 END) * 4096) AS BIGINT), 4095)) AS j
+          FROM uv
+        ),
+        d0 AS (SELECT event_id, face, (i | (i << 8)) & 16711935 AS di,
+                      (j | (j << 8)) & 16711935 AS dj FROM ij),
+        d1 AS (SELECT event_id, face, (di | (di << 4)) & 252645135 AS di,
+                      (dj | (dj << 4)) & 252645135 AS dj FROM d0),
+        d2 AS (SELECT event_id, face, (di | (di << 2)) & 858993459 AS di,
+                      (dj | (dj << 2)) & 858993459 AS dj FROM d1),
+        d3 AS (SELECT event_id, face, (di | (di << 1)) & 1431655765 AS di,
+                      (dj | (dj << 1)) & 1431655765 AS dj FROM d2)
+        SELECT event_id,
+               CAST(face AS BIGINT) * 16777216 + ((dj << 1) | di) AS s2_cell,
+               CAST(face AS BIGINT) AS s2_face
+        FROM d3
+    """
     o["curve_keys"] = f"""
-        WITH c0 AS ({o.pop("tile_assign")}), c1 AS ({o.pop("hilbert")})
+        WITH c0 AS ({o.pop("tile_assign")}), c1 AS ({o.pop("hilbert")}),
+             c2 AS ({s2_sql})
         SELECT c0.event_id, c0.morton_key, c0.tile,
-               c1.i, c1.j, c1.hilbert_key
-        FROM c0 JOIN c1 USING (event_id)
+               c1.i, c1.j, c1.hilbert_key, c2.s2_cell, c2.s2_face
+        FROM c0 JOIN c1 USING (event_id) JOIN c2 USING (event_id)
     """
     o["doc_signatures"] = f"""
         WITH c0 AS ({o.pop("langid")}),

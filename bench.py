@@ -77,7 +77,8 @@ HEADLINE = [
     "curve_keys",
     "nearest_linestring",
     "spatial_window",
-    "trajectory_speeds",
+    # trajectory_speeds + trajectory_bboxes consolidated (50-cap)
+    "trajectory_stats",
     "hausdorff",
     "exact_dedup",
     "minhash",

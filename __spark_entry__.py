@@ -1251,23 +1251,18 @@ def q_video_features(spark, sf_dir):
 
 def q_trajectory_stats(spark, sf_dir):
     """Consolidates trajectory_bboxes + trajectory_speeds (driver
-    50-cap): both aggregate the same object-id shuffle, joined back on
-    user_id so each stays independently hash-checked."""
-    from cuspatial_spark.operators import (
-        trajectory_bounding_boxes,
-        trajectory_distances_and_speeds,
-    )
+    50-cap) via the fused trajectory_summary operator: bbox + distance
+    + speed in ONE object-id shuffle (the reference-parity pair of
+    operators joined costs two scans and three shuffles)."""
+    from cuspatial_spark.operators import trajectory_summary
 
-    pts = _points(spark, sf_dir)
-    bboxes = trajectory_bounding_boxes(pts, object_id="user_id")
-    speeds = trajectory_distances_and_speeds(
-        pts.withColumnRenamed("ts", "timestamp"), object_id="user_id"
-    ).select(
-        "user_id",
+    pts = _points(spark, sf_dir).withColumnRenamed("ts", "timestamp")
+    out = trajectory_summary(pts, object_id="user_id")
+    return out.select(
+        "user_id", "minx", "miny", "maxx", "maxy",
         F.round("distance", 5).alias("distance"),
         F.round("speed", 5).alias("speed"),
     )
-    return bboxes.join(speeds, "user_id")
 
 
 def q_audio_features(spark, sf_dir):

@@ -21,6 +21,7 @@ from .projection import sinusoidal_projection  # noqa: F401
 from .trajectory import (  # noqa: F401
     derive_trajectories,
     trajectory_distances_and_speeds,
+    trajectory_summary,
 )
 from . import binpreds, pairwise  # noqa: F401
 from .dispatch import distance  # noqa: F401

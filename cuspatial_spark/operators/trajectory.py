@@ -99,3 +99,46 @@ def trajectory_distances_and_speeds(
         )
         .select(object_id, "distance", "speed")
     )
+
+
+def trajectory_summary(
+    df: DataFrame,
+    object_id: str = "object_id",
+    x: str = "x",
+    y: str = "y",
+    timestamp: str = "timestamp",
+) -> DataFrame:
+    """Bounding box + total distance + speed per trajectory in ONE
+    object_id shuffle.
+
+    Fuses trajectory_bounding_boxes (reference core/trajectory.py:
+    92-135) and trajectory_distances_and_speeds (171-236): the lag
+    window and the min/max/sum aggregate share the same hash
+    partitioning, so Catalyst plans a single Exchange — where running
+    the two reference-parity operators and joining costs two scans,
+    three shuffles and a join.  Use this form in pipelines; the
+    separate operators remain for API parity."""
+    w = Window.partitionBy(object_id).orderBy(timestamp)
+    dx = F.col(x) - F.lag(x).over(w)
+    dy = F.col(y) - F.lag(y).over(w)
+    step = F.sqrt(dx * dx + dy * dy)
+    ts_sec = F.col(timestamp).cast("timestamp").cast("double")
+    stepped = df.withColumn("__step", step).withColumn("__ts", ts_sec)
+    return (
+        stepped.groupBy(object_id)
+        .agg(
+            F.min(x).alias("minx"),
+            F.min(y).alias("miny"),
+            F.max(x).alias("maxx"),
+            F.max(y).alias("maxy"),
+            (F.coalesce(F.sum("__step"), F.lit(0.0)) * F.lit(1000.0)).alias("distance"),
+            (F.max("__ts") - F.min("__ts")).alias("__dur"),
+        )
+        .withColumn(
+            "speed",
+            F.when(F.col("__dur") > 0, F.col("distance") / F.col("__dur")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("__dur")
+    )

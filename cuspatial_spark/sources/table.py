@@ -23,6 +23,15 @@ to the table level):
 - **Lineage** — manifests carry the commit's row count, bounds,
   cluster curve, and a caller-supplied ``source`` tag; ``history()``
   returns the chain.
+- **Compaction** — a stream of small appends (the streaming ingest
+  path commits per micro-batch) accumulates many small files per
+  tile; ``compact()`` rewrites the current effective view as ONE new
+  snapshot (same tiled clustering) whose manifest records
+  ``compacted_through``, and ``read`` then unions only the compaction
+  base plus later appends.  Old snapshots stay on disk so time travel
+  below the compaction keeps working until ``expire_snapshots()``
+  reclaims them (tombstone marker + data delete) — the Iceberg
+  rewrite-data-files / expire-snapshots maintenance pair.
 """
 
 from __future__ import annotations
@@ -67,10 +76,19 @@ class TiledTable:
         return max(versions, default=0)
 
     def history(self) -> list[dict]:
-        return [
-            self._load_manifest(v)
-            for v in range(1, self.current_version() + 1)
-        ]
+        out = []
+        for v in range(1, self.current_version() + 1):
+            m = self._load_manifest(v)
+            # manifests store root-relative dirs (older ones absolute);
+            # expose resolved paths to callers
+            m["snapshot_dir"] = self._resolve(m["snapshot_dir"])
+            if os.path.exists(self._manifest_path(v) + ".expired"):
+                m["expired"] = True
+            out.append(m)
+        return out
+
+    def _resolve(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.path, p)
 
     def _load_manifest(self, version: int) -> dict:
         """Both publish paths (hard-link and the O_EXCL-claim +
@@ -125,10 +143,23 @@ class TiledTable:
             df, snap_dir, x, y, x_min, x_max, y_min, y_max,
             max_depth=max_depth, tile_level=tile_level, cluster=cluster,
         )
-        spark = df.sparkSession
-        written = spark.read.parquet(snap_dir)
+        layout = {
+            "max_depth": max_depth, "tile_level": tile_level,
+            "cluster": cluster,
+            "aoi": [x_min, x_max, y_min, y_max],
+            "x_col": x, "y_col": y,
+        }
+        manifest = self._build_manifest(
+            df.sparkSession, version, snap_dir, x, y, layout, source
+        )
+        return self._publish(manifest, version)
+
+    def _build_manifest(
+        self, spark, version, snap_dir, x, y, layout, source, **extra
+    ) -> dict:
         from pyspark.sql import functions as F
 
+        written = spark.read.parquet(snap_dir)
         stats = (
             written.groupBy("tile")
             .agg(
@@ -138,10 +169,12 @@ class TiledTable:
             )
             .collect()
         )
-        manifest = {
+        return {
             "version": version,
             "parent": version - 1 if version > 1 else None,
-            "snapshot_dir": snap_dir,
+            # table-root-relative (like Iceberg's manifests): the table
+            # directory can be moved/cloned and manifests stay valid
+            "snapshot_dir": os.path.relpath(snap_dir, self.path),
             "rows": int(sum(r["rows"] for r in stats)),
             "bounds": {
                 "x_lo": float(min(r["x_lo"] for r in stats)),
@@ -150,13 +183,12 @@ class TiledTable:
                 "y_hi": float(max(r["y_hi"] for r in stats)),
             } if stats else None,
             "tiles": {str(r["tile"]): int(r["rows"]) for r in stats},
-            "layout": {
-                "max_depth": max_depth, "tile_level": tile_level,
-                "cluster": cluster,
-                "aoi": [x_min, x_max, y_min, y_max],
-            },
+            "layout": layout,
             "source": source,
+            **extra,
         }
+
+    def _publish(self, manifest: dict, version: int) -> int:
         while True:
             manifest["version"] = version
             manifest["parent"] = version - 1 if version > 1 else None
@@ -239,12 +271,98 @@ class TiledTable:
                 # snapshot from history
                 try:
                     with open(final) as f:
-                        if json.load(f).get("snapshot_dir") == snap_dir:
+                        published = json.load(f).get("snapshot_dir")
+                        if published == manifest["snapshot_dir"]:
                             return version
                 except (OSError, ValueError):
                     pass
                 version = self.current_version() + 1
                 continue
+
+    # --------------------------------------------------------- maintenance
+
+    def compact(self, spark: SparkSession, source: str = "compaction") -> int:
+        """Rewrite the current effective view (compaction base + later
+        appends) as ONE new snapshot with the table's tiled clustering,
+        and publish it with ``compacted_through`` = the version it
+        covers.  Readers then touch one well-formed file set per tile
+        instead of one per append — the Iceberg rewrite-data-files
+        maintenance op a streaming ingest needs periodically.
+
+        Safe under concurrent appends: coverage is recorded as the
+        exact version that was read, so an append that lands while the
+        rewrite runs stays visible (it is > compacted_through).
+        Concurrent compactions waste work but not correctness — read()
+        picks the one with the widest coverage as base and ignores the
+        other.  Old snapshots remain readable for time travel until
+        expire_snapshots()."""
+        v = self.current_version()
+        if v < 1:
+            raise ValueError(f"table {self.path} has no committed snapshots")
+        layout = self._load_manifest(v)["layout"]
+        x, y = layout.get("x_col"), layout.get("y_col")
+        if x is None or y is None:
+            raise ValueError(
+                "manifest predates x_col/y_col recording — re-commit "
+                "once with the current library before compacting"
+            )
+        df = self.read(spark, version=v)
+        # derived layout columns are recomputed by write_tiled; tile is
+        # a partition directory key on the way back in
+        df = df.drop("morton_key", "hilbert_key", "tile")
+        x_min, x_max, y_min, y_max = layout["aoi"]
+        snap_dir = os.path.join(
+            self.path, "data", f"compact-{v:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        write_tiled(
+            df, snap_dir, x, y, x_min, x_max, y_min, y_max,
+            max_depth=layout["max_depth"], tile_level=layout["tile_level"],
+            cluster=layout["cluster"],
+        )
+        manifest = self._build_manifest(
+            spark, v + 1, snap_dir, x, y, layout, source, compacted_through=v
+        )
+        return self._publish(manifest, v + 1)
+
+    def expire_snapshots(self) -> list[int]:
+        """Reclaim storage: delete the data of every snapshot fully
+        covered by the newest compaction (and of superseded
+        compactions), leaving a ``.expired`` tombstone beside each
+        manifest so history() still shows the lineage.  Time travel to
+        expired versions raises; versions >= the newest compaction are
+        untouched."""
+        import shutil
+
+        mans = self.history()
+        base = self._compaction_base(mans)
+        if base is None:
+            return []
+        expired = []
+        for m in mans:
+            if m.get("expired") or m["version"] == base["version"]:
+                continue
+            covered = m["version"] <= base["compacted_through"]
+            superseded = (
+                m.get("compacted_through") is not None
+                and m["compacted_through"] <= base["compacted_through"]
+            )
+            if covered or superseded:
+                shutil.rmtree(m["snapshot_dir"], ignore_errors=True)
+                marker = self._manifest_path(m["version"]) + ".expired"
+                with open(marker, "w"):
+                    pass
+                expired.append(m["version"])
+        return expired
+
+    @staticmethod
+    def _compaction_base(mans: list[dict]) -> dict | None:
+        """The manifest read() starts from: widest coverage wins, then
+        the newest version (two racing compactions with equal coverage
+        tie-break deterministically)."""
+        comps = [m for m in mans if m.get("compacted_through") is not None]
+        if not comps:
+            return None
+        return max(comps, key=lambda m: (m["compacted_through"], m["version"]))
 
     # ---------------------------------------------------------------- read
 
@@ -254,16 +372,36 @@ class TiledTable:
         version: int | None = None,
         window: tuple[float, float, float, float] | None = None,
     ) -> DataFrame:
-        """Union of snapshots 1..version (default: latest).  With
-        ``window=(x0, x1, y0, y1)``, snapshots whose recorded bounds
-        miss the window are skipped entirely (manifest-level pruning);
-        the returned frame is NOT window-filtered — compose with
-        points_in_spatial_window for the row-level cut."""
+        """Effective view at ``version`` (default: latest): the newest
+        compaction base at or below it plus later appends — or the
+        plain union of snapshots 1..version when no compaction exists.
+        With ``window=(x0, x1, y0, y1)``, snapshots whose recorded
+        bounds miss the window are skipped entirely (manifest-level
+        pruning); the returned frame is NOT window-filtered — compose
+        with points_in_spatial_window for the row-level cut."""
         version = version or self.current_version()
         if version < 1:
             raise ValueError(f"table {self.path} has no committed snapshots")
+        mans = self.history()[:version]
+        base = self._compaction_base(mans)
+        if base is None:
+            parts = mans
+        else:
+            parts = [base] + [
+                m
+                for m in mans
+                if m["version"] > base["compacted_through"]
+                and m["version"] != base["version"]
+                and m.get("compacted_through") is None
+            ]
         out = None
-        for m in self.history()[:version]:
+        for m in sorted(parts, key=lambda m: m["version"]):
+            if m.get("expired"):
+                raise RuntimeError(
+                    f"snapshot v{m['version']} was expired by "
+                    "expire_snapshots(); time travel below the newest "
+                    "compaction is no longer available"
+                )
             if window is not None and m["bounds"] is not None:
                 x0, x1, y0, y1 = window
                 b = m["bounds"]
@@ -281,9 +419,9 @@ class TiledTable:
             )
         if out is None:
             # every snapshot pruned: empty frame with the right schema
-            m = self.history()[0]
-            base = spark.read.option("basePath", m["snapshot_dir"]).parquet(
+            m = next((m for m in parts if not m.get("expired")), parts[0])
+            base_df = spark.read.option("basePath", m["snapshot_dir"]).parquet(
                 m["snapshot_dir"]
             )
-            return base.limit(0)
+            return base_df.limit(0)
         return out

@@ -713,7 +713,8 @@ class TestTiledTable:
         # the frozen writer's v2 manifest was restored, not deleted
         assert json.load(open(stale))["snapshot_dir"] == winner["snapshot_dir"]
         assert t.current_version() == 3
-        assert t.history()[1]["snapshot_dir"] == winner["snapshot_dir"]
+        # history() resolves root-relative dirs to absolute paths
+        assert t.history()[1]["snapshot_dir"] == t._resolve(winner["snapshot_dir"])
 
     def test_fallback_publish_is_whole(self, spark, tmp_path, monkeypatch):
         """The no-hardlink publish path must expose the manifest whole

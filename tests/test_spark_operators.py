@@ -437,6 +437,38 @@ class TestTrajectory:
         np.testing.assert_allclose(got["distance"], [1414.213562, 1414.213562], rtol=1e-9)
         np.testing.assert_allclose(got["speed"], [141.421356, 141.421356], rtol=1e-8)
 
+    def test_summary_fuses_bbox_and_speeds(self, spark):
+        rng = np.random.default_rng(11)
+        pdf = pd.DataFrame(
+            {
+                "object_id": rng.integers(0, 20, 400),
+                "x": rng.uniform(0, 8, 400),
+                "y": rng.uniform(0, 8, 400),
+                "timestamp": pd.to_datetime(
+                    rng.integers(0, 10**7, 400), unit="ms"
+                ),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = ops.trajectory_summary(df).orderBy("object_id").toPandas()
+        boxes = ops.trajectory_bounding_boxes(
+            df.withColumnRenamed("timestamp", "ts"), x="x", y="y"
+        ).orderBy("object_id").toPandas()
+        speeds = (
+            ops.trajectory_distances_and_speeds(df).orderBy("object_id").toPandas()
+        )
+        for c in ("minx", "miny", "maxx", "maxy"):
+            np.testing.assert_allclose(got[c], boxes[c])
+        np.testing.assert_allclose(got["distance"], speeds["distance"], rtol=1e-12)
+        np.testing.assert_allclose(got["speed"], speeds["speed"], rtol=1e-12)
+        # the whole summary rides ONE object-id shuffle
+        plan = (
+            ops.trajectory_summary(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
 
 class TestHausdorffSpark:
     def test_values(self, spark):

@@ -1249,6 +1249,36 @@ def q_video_features(spark, sf_dir):
     )
 
 
+def q_radius_join(spark, sf_dir):
+    """Geodesic distance join: globe-spanning page coords vs a small
+    POI layer, all pairs within 500 great-circle km.  The library path
+    is the 3D chord-grid equi-join (plans/spherical_join.py — unit
+    sphere embed, cell = chord(500 km), 27-neighbor broadcast fan-out,
+    exact haversine refine); the oracle is the brute cross join with
+    the same haversine arithmetic, so the grid's candidate set is
+    proven lossless."""
+    from cuspatial_spark.plans import haversine_radius_join
+
+    pts = _points(spark, sf_dir)
+    pages = pts.select(
+        "event_id",
+        (F.col("x") * 45.0 - 180.0).alias("lon"),
+        (F.col("y") * 20.0 - 80.0).alias("lat"),
+    )
+    pois = pts.where(F.col("event_id") < 40).select(
+        F.col("event_id").alias("poi_id"),
+        (F.col("y") * 45.0 - 180.0).alias("lon"),
+        (F.col("x") * 20.0 - 80.0).alias("lat"),
+    )
+    out = haversine_radius_join(
+        pages, pois, 500.0,
+        keep_left=("event_id",), keep_right=("poi_id",),
+    )
+    return out.select(
+        "event_id", "poi_id", F.round("distance_km", 4).alias("distance_km")
+    )
+
+
 def q_trajectory_stats(spark, sf_dir):
     """Consolidates trajectory_bboxes + trajectory_speeds (driver
     50-cap) via the fused trajectory_summary operator: bbox + distance
@@ -1619,7 +1649,17 @@ def q_pairwise_distances(spark, sf_dir):
     d = q_polygon_distance(spark, sf_dir).withColumnRenamed(
         "distance", "poly_poly_dist"
     )
-    return a.join(b, "event_id").join(c, "event_id").join(d, "event_id")
+    # nearest_points folded in (50-cap, round 5): same event_id key
+    e = q_nearest_points(spark, sf_dir).select(
+        "event_id",
+        F.col("segment_id").alias("np_segment_id"),
+        F.col("nearest_x").alias("np_x"),
+        F.col("nearest_y").alias("np_y"),
+    )
+    return (
+        a.join(b, "event_id").join(c, "event_id")
+        .join(d, "event_id").join(e, "event_id")
+    )
 
 
 def q_binpreds_pt_poly(spark, sf_dir):
@@ -1678,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
         # round-5: real multimodal decode (imagecodec.py) + real BPE
+        "radius_join": q_radius_join,
         "video_features": q_video_features,
         "semdedup": q_semdedup,
         "clean_text": q_clean_text,
@@ -1719,7 +1760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_canonical": q_lsh_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
-        "nearest_points": q_nearest_points,
         "knn": q_knn,
         "pip_pairwise": q_pip_pairwise,
         "intersection": q_intersection,
@@ -3215,11 +3255,14 @@ def oracle_sql() -> dict[str, str]:
         WITH c0 AS ({o.pop("point_polygon_distance")}),
              c1 AS ({o.pop("linestring_distance")}),
              c2 AS ({o.pop("lspoly_distance")}),
-             c3 AS ({o.pop("polygon_distance")})
+             c3 AS ({o.pop("polygon_distance")}),
+             c4 AS ({o.pop("nearest_points")})
         SELECT c0.event_id, c0.distance AS pt_poly_dist, c1.distance AS ls_ls_dist,
-               c2.distance AS ls_poly_dist, c3.distance AS poly_poly_dist
+               c2.distance AS ls_poly_dist, c3.distance AS poly_poly_dist,
+               c4.segment_id AS np_segment_id, c4.nearest_x AS np_x,
+               c4.nearest_y AS np_y
         FROM c0 JOIN c1 USING (event_id) JOIN c2 USING (event_id)
-                JOIN c3 USING (event_id)
+                JOIN c3 USING (event_id) JOIN c4 USING (event_id)
     """
     o["binpreds_pt_poly"] = f"""
         WITH c0 AS ({o.pop("binpreds")}), c1 AS ({o.pop("binpreds2")})
@@ -3296,6 +3339,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT c0.event_id, c0.morton_key, c0.tile,
                c1.i, c1.j, c1.hilbert_key, c2.s2_cell, c2.s2_face
         FROM c0 JOIN c1 USING (event_id) JOIN c2 USING (event_id)
+    """
+    # radius_join: brute-force cross join with the SAME haversine
+    # arithmetic (op-for-op: half-angle of the radians difference,
+    # sin^2 terms, cos scale, 2R asin sqrt) — proves the 3D chord-grid
+    # candidate set loses no pair at the 500 km cutoff
+    o["radius_join"] = f"""
+        WITH {pts},
+        pages AS (
+          SELECT event_id, x * 45.0 - 180.0 AS lon, y * 20.0 - 80.0 AS lat
+          FROM pts
+        ),
+        pois AS (
+          SELECT event_id AS poi_id, y * 45.0 - 180.0 AS plon,
+                 x * 20.0 - 80.0 AS plat
+          FROM pts WHERE event_id < 40
+        ),
+        pairs AS (
+          SELECT event_id, poi_id,
+                 2.0 * 6371.0 * asin(sqrt(
+                     sin((radians(plat) - radians(lat)) / 2)
+                       * sin((radians(plat) - radians(lat)) / 2)
+                   + sin((radians(plon) - radians(lon)) / 2)
+                       * sin((radians(plon) - radians(lon)) / 2)
+                       * cos(radians(lat)) * cos(radians(plat))
+                 )) AS d
+          FROM pages, pois
+        )
+        SELECT event_id, poi_id, round(d, 4) AS distance_km
+        FROM pairs WHERE d <= 500.0
     """
     o["doc_signatures"] = f"""
         WITH c0 AS ({o.pop("langid")}),

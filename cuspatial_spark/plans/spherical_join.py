@@ -1,0 +1,124 @@
+"""Spherical (haversine) radius join: 3D chord-grid filter + exact
+refine, pure built-ins.
+
+The geodesic analogue of the planar kNN/radius tile join
+(plans/knn_join.py): joining geotagged web pages to a POI/polygon
+layer "within d km" cannot use a lon/lat grid (cells degenerate at the
+poles and wrap at the date line).  Instead both sides are embedded on
+the unit sphere — two points are within haversine distance ``d`` iff
+their 3D chord distance is within ``c = 2 sin(d / 2R)`` — and bucketed
+on an axis-aligned 3D grid of spacing ``c``.  A candidate pair can
+then only live in the same or an adjacent cell per axis, so the
+27-neighbor offset explode turns the problem into ONE equi-join on
+(cell_x, cell_y, cell_z), refined by the exact haversine predicate.
+
+Scale shape (100 TB): the pages side streams through one codegen
+projection (unit vector + cell id), the POI side is typically small
+enough to broadcast (27x row fan-out happens on the broadcast copy,
+not the corpus); with two big sides it is still a uniform-key hash
+join — cell occupancy is bounded by crawl density per (d km)^3 voxel,
+and AQE's skew split handles hot cities.  No crossJoin anywhere.
+
+Reference: cuspatial has no geodesic join; this extends its
+quadtree-join family (cpp/src/join/quadtree_point_in_polygon.cu) the
+same way spherical_pip extends point_in_polygon.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import EARTH_RADIUS_KM, haversine_expr
+
+import math
+
+
+def _with_unit_vector(df: DataFrame, lon: str, lat: str, prefix: str) -> DataFrame:
+    lam, phi = F.radians(F.col(lon)), F.radians(F.col(lat))
+    return (
+        df.withColumn(f"{prefix}x", F.cos(phi) * F.cos(lam))
+        .withColumn(f"{prefix}y", F.cos(phi) * F.sin(lam))
+        .withColumn(f"{prefix}z", F.sin(phi))
+    )
+
+
+def _cell(c: Column, size: float) -> Column:
+    return F.floor(c / F.lit(size)).cast("long")
+
+
+def haversine_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    right_lon: str = "lon",
+    right_lat: str = "lat",
+    keep_left: tuple[str, ...] = (),
+    keep_right: tuple[str, ...] = (),
+    earth_radius_km: float = EARTH_RADIUS_KM,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """All (left, right) pairs within ``radius_km`` great-circle km,
+    with the exact haversine distance as ``distance_km``.
+
+    ``keep_left`` / ``keep_right`` name the payload columns carried
+    through (right-side names colliding with left names come back
+    prefixed ``r_``).  ``broadcast_right=True`` (default) marks the
+    right side — the POI/landmark layer, 27x-exploded — as the
+    broadcast build side; set False to let AQE choose for two big
+    sides."""
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    ang = min(radius_km / earth_radius_km, math.pi)
+    chord = 2.0 * math.sin(ang / 2.0)
+
+    lkeep = list(keep_left)
+    rkeep = list(keep_right)
+    rmap = {c: (f"r_{c}" if c in lkeep else c) for c in rkeep}
+
+    lhs = _with_unit_vector(left.select(*lkeep, lon, lat), lon, lat, "__l")
+    for ax in ("x", "y", "z"):
+        lhs = lhs.withColumn(f"__lc{ax}", _cell(F.col(f"__l{ax}"), chord))
+
+    rhs = _with_unit_vector(
+        right.select(*rkeep, right_lon, right_lat), right_lon, right_lat, "__r"
+    )
+    # 27-neighbor fan-out on the (small) right side: a pair within the
+    # chord differs by at most one cell per axis
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz"))
+            for dx, dy, dz in product((-1, 0, 1), repeat=3)
+        ]
+    )
+    rhs = rhs.withColumn("__off", F.explode(offsets))
+    for ax, d in (("x", "dx"), ("y", "dy"), ("z", "dz")):
+        rhs = rhs.withColumn(
+            f"__rc{ax}", _cell(F.col(f"__r{ax}"), chord) + F.col("__off")[d]
+        )
+    rhs = rhs.select(
+        *[F.col(c).alias(rmap[c]) for c in rkeep],
+        F.col(right_lon).alias("__rlon"), F.col(right_lat).alias("__rlat"),
+        "__rcx", "__rcy", "__rcz",
+    )
+    if broadcast_right:
+        rhs = F.broadcast(rhs)
+
+    cond = (
+        (F.col("__lcx") == F.col("__rcx"))
+        & (F.col("__lcy") == F.col("__rcy"))
+        & (F.col("__lcz") == F.col("__rcz"))
+    )
+    dist = haversine_expr(
+        F.col(lon), F.col(lat), F.col("__rlon"), F.col("__rlat"), earth_radius_km
+    )
+    return (
+        lhs.join(rhs, cond)
+        .withColumn("distance_km", dist)
+        .where(F.col("distance_km") <= F.lit(radius_km))
+        .select(*lkeep, *[rmap[c] for c in rkeep], "distance_km")
+    )

@@ -1,0 +1,98 @@
+"""haversine_radius_join: 3D chord-grid candidate completeness vs
+brute force, pole/date-line behavior, plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuspatial_spark.plans import haversine_radius_join
+
+
+def _hav_np(lon1, lat1, lon2, lat2, R=6371.0):
+    ax, ay, bx, by = map(np.radians, (lon1, lat1, lon2, lat2))
+    x, y = (bx - ax) / 2, (by - ay) / 2
+    return 2 * R * np.arcsin(
+        np.sqrt(np.sin(y) ** 2 + np.sin(x) ** 2 * np.cos(ay) * np.cos(by))
+    )
+
+
+def _frame(spark, ids, lon, lat, id_col):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({id_col: ids, "lon": lon, "lat": lat})
+    )
+
+
+class TestCorrectness:
+    def test_matches_brute_force(self, spark):
+        rng = np.random.default_rng(13)
+        n, m, r = 800, 60, 700.0
+        pl_lon = rng.uniform(-180, 180, n)
+        # uniform on the sphere so poles are exercised
+        pl_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        po_lon = rng.uniform(-180, 180, m)
+        po_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, m)))
+        left = _frame(spark, np.arange(n), pl_lon, pl_lat, "page_id")
+        right = _frame(spark, np.arange(m), po_lon, po_lat, "poi_id")
+
+        got = (
+            haversine_radius_join(
+                left, right, r, keep_left=("page_id",), keep_right=("poi_id",)
+            )
+            .orderBy("page_id", "poi_id")
+            .toPandas()
+        )
+        d = _hav_np(pl_lon[:, None], pl_lat[:, None], po_lon[None, :], po_lat[None, :])
+        ii, jj = np.nonzero(d <= r)
+        assert list(zip(got.page_id, got.poi_id)) == list(zip(ii, jj))
+        np.testing.assert_allclose(got.distance_km, d[ii, jj], rtol=1e-12)
+
+    def test_dateline_pair_found(self, spark):
+        left = _frame(spark, [0], [179.9], [10.0], "page_id")
+        right = _frame(spark, [0], [-179.9], [10.0], "poi_id")
+        got = haversine_radius_join(
+            left, right, 50.0, keep_left=("page_id",), keep_right=("poi_id",)
+        ).toPandas()
+        assert len(got) == 1 and got.distance_km[0] < 25.0
+
+    def test_pole_pair_found(self, spark):
+        # same distance from the pole, opposite meridians
+        left = _frame(spark, [0], [0.0], [89.8], "page_id")
+        right = _frame(spark, [0], [180.0], [89.8], "poi_id")
+        got = haversine_radius_join(
+            left, right, 60.0, keep_left=("page_id",), keep_right=("poi_id",)
+        ).toPandas()
+        assert len(got) == 1
+
+    def test_name_collision_prefixed(self, spark):
+        left = _frame(spark, [0], [0.0], [0.0], "id")
+        right = _frame(spark, [7], [0.1], [0.1], "id")
+        got = haversine_radius_join(
+            left, right, 100.0, keep_left=("id",), keep_right=("id",)
+        ).toPandas()
+        assert list(got.columns) == ["id", "r_id", "distance_km"]
+        assert (got.id[0], got.r_id[0]) == (0, 7)
+
+    def test_bad_radius_raises(self, spark):
+        left = _frame(spark, [0], [0.0], [0.0], "a")
+        with pytest.raises(ValueError):
+            haversine_radius_join(left, left, 0.0)
+
+
+class TestPlan:
+    def test_broadcast_equijoin_no_crossjoin(self, spark):
+        rng = np.random.default_rng(1)
+        left = _frame(spark, np.arange(100), rng.uniform(-180, 180, 100),
+                      rng.uniform(-60, 60, 100), "page_id")
+        right = _frame(spark, np.arange(5), rng.uniform(-180, 180, 5),
+                       rng.uniform(-60, 60, 5), "poi_id")
+        plan = (
+            haversine_radius_join(
+                left, right, 300.0, keep_left=("page_id",), keep_right=("poi_id",)
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert "Python" not in plan and "MapInPandas" not in plan

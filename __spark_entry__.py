@@ -1402,9 +1402,39 @@ def q_curve_keys(spark, sf_dir):
     )
 
 
+def q_geo_knn(spark, sf_dir):
+    """Exact geodesic kNN: 5 nearest of 30 globe-scattered POIs per
+    page via progressive chord-grid radius doubling
+    (plans/spherical_join.py geodesic_knn_join); the oracle is the
+    brute cross join + row_number, so every round's resolve-when-k
+    invariant is hash-checked."""
+    from cuspatial_spark.plans import geodesic_knn_join
+
+    pts = _points(spark, sf_dir)
+    pages = pts.select(
+        F.col("event_id").alias("query_id"),
+        (F.col("x") * 45.0 - 180.0).alias("lon"),
+        (F.col("y") * 20.0 - 80.0).alias("lat"),
+    )
+    pois = pts.where(F.col("event_id") < 30).select(
+        F.col("event_id").alias("poi_id"),
+        (F.col("y") * 45.0 - 180.0).alias("lon"),
+        (F.col("x") * 20.0 - 80.0).alias("lat"),
+    )
+    out = geodesic_knn_join(
+        pois, pages, k=5, id_col="poi_id", query_id_col="query_id",
+        initial_radius_km=2000.0,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("distance_km", 4).alias("distance_km"), "rank",
+    )
+
+
 def q_binpreds3(spark, sf_dir):
     """Extended binpred matrix: polygon x polygon, point x linestring,
-    linestring x polygon combos."""
+    linestring x polygon combos (+ the linestring x linestring matrix
+    of the former binpreds_ls query, joined on event_id — 50-cap)."""
     from cuspatial_spark.operators import binpreds as bp
 
     polys = _polygons()
@@ -1427,10 +1457,11 @@ def q_binpreds3(spark, sf_dir):
     out = bp.linestring_crosses_polygon(
         out, _tlines2(), polys, line_idx="li2", result="ls_crosses"
     )
-    return out.select(
+    wide = out.select(
         "event_id", "pp_intersects", "pp_disjoint", "pp_contains",
         "ptls_intersects", "ptls_disjoint", "ls_within", "ls_crosses",
     )
+    return wide.join(q_binpreds_ls(spark, sf_dir), "event_id")
 
 
 def q_derive_traj(spark, sf_dir):
@@ -1761,9 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "knn": q_knn,
+        "geo_knn": q_geo_knn,
         "pip_pairwise": q_pip_pairwise,
         "intersection": q_intersection,
-        "binpreds_ls": q_binpreds_ls,
         "multipoint_ops": q_multipoint_ops,
         "geom_equals": q_geom_equals,
         "binpreds3": q_binpreds3,
@@ -3339,6 +3370,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT c0.event_id, c0.morton_key, c0.tile,
                c1.i, c1.j, c1.hilbert_key, c2.s2_cell, c2.s2_face
         FROM c0 JOIN c1 USING (event_id) JOIN c2 USING (event_id)
+    """
+    # binpreds_ls folded into binpreds3 (50-cap): same event_id key
+    o["binpreds3"] = f"""
+        WITH c0 AS ({o["binpreds3"]}), c1 AS ({o.pop("binpreds_ls")})
+        SELECT c0.*, c1.intersects, c1.crosses, c1.touches, c1.overlaps
+        FROM c0 JOIN c1 USING (event_id)
+    """
+    # geo_knn: brute cross join + row_number over the same haversine
+    # arithmetic; the self-id exclusion mirrors the planar knn_join
+    o["geo_knn"] = f"""
+        WITH {pts},
+        pages AS (
+          SELECT event_id AS query_id, x * 45.0 - 180.0 AS lon,
+                 y * 20.0 - 80.0 AS lat
+          FROM pts
+        ),
+        pois AS (
+          SELECT event_id AS poi_id, y * 45.0 - 180.0 AS plon,
+                 x * 20.0 - 80.0 AS plat
+          FROM pts WHERE event_id < 30
+        ),
+        pairs AS (
+          SELECT query_id, poi_id,
+                 2.0 * 6371.0 * asin(sqrt(
+                     sin((radians(lat) - radians(plat)) / 2)
+                       * sin((radians(lat) - radians(plat)) / 2)
+                   + sin((radians(lon) - radians(plon)) / 2)
+                       * sin((radians(lon) - radians(plon)) / 2)
+                       * cos(radians(plat)) * cos(radians(lat))
+                 )) AS d
+          FROM pages, pois
+          WHERE poi_id != query_id
+        ),
+        ranked AS (
+          SELECT query_id, poi_id AS neighbor_id, d,
+                 row_number() OVER (PARTITION BY query_id ORDER BY d, poi_id) AS rank
+          FROM pairs
+        )
+        SELECT query_id, neighbor_id, round(d, 4) AS distance_km, rank
+        FROM ranked WHERE rank <= 5
     """
     # radius_join: brute-force cross join with the SAME haversine
     # arithmetic (op-for-op: half-angle of the radians difference,

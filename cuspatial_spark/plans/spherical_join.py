@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from itertools import product
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import EARTH_RADIUS_KM, haversine_expr
@@ -122,3 +122,87 @@ def haversine_radius_join(
         .where(F.col("distance_km") <= F.lit(radius_km))
         .select(*lkeep, *[rmap[c] for c in rkeep], "distance_km")
     )
+
+
+def geodesic_knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "point_id",
+    query_id_col: str = "query_id",
+    initial_radius_km: float = 100.0,
+    max_rounds: int = 8,
+    earth_radius_km: float = EARTH_RADIUS_KM,
+) -> DataFrame:
+    """(query_id, neighbor_id, distance_km, rank) for the k nearest
+    data points to each query on the sphere — exact great-circle kNN
+    via progressive radius doubling over the chord-grid join.
+
+    Round r runs haversine_radius_join at ``initial_radius_km * 2**r``
+    for the still-unresolved queries only.  A query resolves in the
+    round where it has >= k candidates: its true k nearest are all
+    within the kth candidate's distance <= r, so the top-k among
+    within-r candidates IS the global top-k (same invariant as the
+    planar progressive widening in plans/tile_join.py).  The final
+    round at half the sphere's circumference sees every pair, so
+    starved queries (fewer than k data points on Earth) resolve with
+    what exists.
+
+    Scale shape: the corpus side streams through each round's single
+    equi-join (unresolved queries broadcast); per-query candidate
+    counts — one row per query — are the only driver-side state.
+    Rounds are bounded by max_rounds and by the half-circumference
+    cap, and each round resolves the dense queries, so sparse-region
+    queries alone pay the later, wider rounds."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if id_col == query_id_col:
+        raise ValueError("id_col and query_id_col must differ (self-exclusion)")
+    qcols = queries.select(
+        F.col(query_id_col), F.col(lon).alias("__qlon"), F.col(lat).alias("__qlat")
+    )
+    unresolved = qcols
+    out = None
+    half_circ = math.pi * earth_radius_km
+    radius = float(initial_radius_km)
+    for rnd in range(max_rounds):
+        last = radius >= half_circ or rnd == max_rounds - 1
+        pairs = haversine_radius_join(
+            data,
+            unresolved.withColumnRenamed("__qlon", lon).withColumnRenamed(
+                "__qlat", lat
+            ),
+            min(radius, half_circ),
+            lon=lon, lat=lat,
+            keep_left=(id_col,), keep_right=(query_id_col,),
+            earth_radius_km=earth_radius_km,
+        ).where(F.col(id_col) != F.col(query_id_col))
+        w = Window.partitionBy(query_id_col).orderBy("distance_km", id_col)
+        ranked = (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .withColumn(
+                "__n", F.count("*").over(Window.partitionBy(query_id_col))
+            )
+        )
+        done = ranked.where((F.col("__n") >= k) | F.lit(last)).where(
+            F.col("rank") <= k
+        )
+        batch = done.select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "distance_km",
+            "rank",
+        )
+        out = batch if out is None else out.unionByName(batch)
+        if last:
+            break
+        resolved_ids = ranked.where(F.col("__n") >= k).select(query_id_col)
+        unresolved = unresolved.join(
+            resolved_ids.distinct(), query_id_col, "left_anti"
+        ).localCheckpoint()
+        if unresolved.limit(1).count() == 0:
+            break
+        radius *= 2.0
+    return out

@@ -96,3 +96,64 @@ class TestPlan:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
         assert "Python" not in plan and "MapInPandas" not in plan
+
+
+class TestGeodesicKnn:
+    def test_matches_brute_force_multi_round(self, spark):
+        from cuspatial_spark.plans import geodesic_knn_join
+
+        rng = np.random.default_rng(5)
+        nq, nd, k = 120, 40, 5
+        q_lon = rng.uniform(-180, 180, nq)
+        q_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, nq)))
+        d_lon = rng.uniform(-180, 180, nd)
+        d_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, nd)))
+        queries = _frame(spark, np.arange(nq), q_lon, q_lat, "query_id")
+        data = _frame(spark, np.arange(nd), d_lon, d_lat, "poi_id")
+
+        # initial radius small enough that several doubling rounds run
+        got = (
+            geodesic_knn_join(
+                data, queries, k=k, id_col="poi_id", query_id_col="query_id",
+                initial_radius_km=300.0,
+            )
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        d = _hav_np(d_lon[None, :], d_lat[None, :], q_lon[:, None], q_lat[:, None])
+        # self-id exclusion: query_id == poi_id pairs dropped
+        for qi in range(min(nq, nd)):
+            d[qi, qi] = np.inf
+        order = np.lexsort((np.arange(nd)[None, :].repeat(nq, 0), d), axis=1)
+        expect = order[:, :k]
+        got_n = got.neighbor_id.to_numpy().reshape(nq, k)
+        np.testing.assert_array_equal(got_n, expect)
+        np.testing.assert_allclose(
+            got.distance_km.to_numpy().reshape(nq, k),
+            np.take_along_axis(d, expect, axis=1),
+            rtol=1e-12,
+        )
+        assert list(got["rank"]) == list(range(1, k + 1)) * nq
+
+    def test_starved_queries_get_all_available(self, spark):
+        from cuspatial_spark.plans import geodesic_knn_join
+
+        queries = _frame(spark, [100, 101], [0.0, 90.0], [0.0, 45.0], "query_id")
+        data = _frame(spark, [0, 1, 2], [10.0, -120.0, 60.0], [5.0, -30.0, 80.0], "poi_id")
+        got = geodesic_knn_join(
+            data, queries, k=5, id_col="poi_id", query_id_col="query_id",
+            initial_radius_km=500.0,
+        ).toPandas()
+        # only 3 data points exist: each query resolves with 3 rows
+        assert len(got) == 6
+        assert got.groupby("query_id")["rank"].max().tolist() == [3, 3]
+
+    def test_arg_validation(self, spark):
+        from cuspatial_spark.plans import geodesic_knn_join
+
+        df = _frame(spark, [0], [0.0], [0.0], "point_id")
+        with pytest.raises(ValueError):
+            geodesic_knn_join(df, df, k=0, id_col="a", query_id_col="b")
+        with pytest.raises(ValueError):
+            # same id column name on both sides is ambiguous
+            geodesic_knn_join(df, df, k=1, id_col="point_id", query_id_col="point_id")

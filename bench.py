@@ -115,6 +115,10 @@ HEADLINE = [
     # within-cluster cosine equi-join)
     "clean_text",
     "semdedup",
+    # round 5d: exact geodesic kNN (progressive chord-grid radius
+    # doubling over the spherical equi-join — the north-star
+    # "S2 cells + kNN" shape)
+    "geo_knn",
 ]
 
 

@@ -598,16 +598,19 @@ def q_lsh_canonical(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTERS: LSH candidate pairs -> distributed connected
-    components -> (doc_id, canonical_id).  The oracle replays the same
-    pair derivation and resolves components with a recursive CTE."""
-    from cuspatial_spark.operators.graph import dedup_clusters
+    """Near-dup CLUSTERS + leakage-safe train/val/test split: LSH
+    candidate pairs -> distributed connected components ->
+    (doc_id, canonical_id, split), where the split is drawn from an
+    arithmetic hash of the CANONICAL id so near-duplicates can never
+    straddle train and eval (operators/graph.py leakage_safe_split).
+    The oracle replays the same pair derivation, resolves components
+    with a recursive CTE, and applies the identical hash arithmetic."""
+    from cuspatial_spark.operators.graph import leakage_safe_split
     from cuspatial_spark.textops import lsh_candidate_pairs
 
-    pairs = lsh_candidate_pairs(
-        _docs(spark, sf_dir), num_hashes=4, band_size=2, shingle_k=8
-    )
-    return dedup_clusters(pairs).orderBy("doc_id")
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, num_hashes=4, band_size=2, shingle_k=8)
+    return leakage_safe_split(docs, pairs).orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -2493,9 +2496,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a AS v, a AS l FROM und
               UNION
               SELECT u.b AS v, r.l FROM reach r JOIN und u ON u.a = r.v
+            ),
+            comp AS (
+              SELECT v AS doc_id, min(l) AS canonical_id
+              FROM reach GROUP BY v
+            ),
+            assigned AS (
+              SELECT d.doc_id,
+                     COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
             )
-            SELECT v AS doc_id, min(l) AS canonical_id
-            FROM reach GROUP BY v
+            SELECT doc_id, canonical_id,
+                   CASE WHEN (canonical_id % 1000003) * 2654435761 % 1000003
+                             / 1000003.0 < 0.9 THEN 'train'
+                        WHEN (canonical_id % 1000003) * 2654435761 % 1000003
+                             / 1000003.0 < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM assigned
         """,
         "simhash": _simhash_sql(),
         "ngram_jaccard": f"""

@@ -136,3 +136,66 @@ def hausdorff_clusters(
     edges = sym.where(F.col("h") <= threshold)
     cc = connected_components(edges)
     return cc.select(F.col("vertex").alias("space"), F.col("component").alias("cluster"))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, canonical_id, split) — train/val/test assignment that
+    can never leak near-duplicates across splits.
+
+    Hashing raw doc ids (the naive split) puts the two halves of a
+    near-dup pair in different splits, so eval text the model has
+    memorized from train contaminates the metric (Lee et al. 2022 §6
+    measure exactly this).  The fix is to split by CLUSTER: resolve
+    near-dup candidate pairs to connected components (dedup_clusters),
+    give every document its canonical id (itself when unpaired), and
+    assign the split from a deterministic arithmetic hash of the
+    CANONICAL id — every member of a component inherits the same draw.
+
+    The hash is ``(canonical_id % p) * 2654435761 % p`` with p =
+    1000003, mod-first so the intermediate stays < 2^63 for any int64
+    id under ANSI arithmetic; u = hash/p is compared against the
+    cumulative weight thresholds in dict order.  Closed-form integer
+    arithmetic, so any engine (the DuckDB oracle included) replays the
+    exact assignment.
+
+    Scale shape: components cost O(log diameter) rounds of vertex-id
+    shuffles (see connected_components); the split itself is one
+    broadcast-free left join of docs against the (small) paired-docs
+    component table plus pure codegen arithmetic — no new shuffle at
+    the 100-TB corpus beyond the join on doc_id.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative and non-empty: {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+
+    cc = dedup_clusters(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
+        "doc_id", "__cc_id"
+    )
+    left = docs.select(F.col(id_col))
+    labeled = left.join(cc, left[id_col] == cc["__cc_id"], "left").select(
+        left[id_col].alias("doc_id"),
+        F.coalesce("canonical_id", left[id_col]).alias("canonical_id"),
+    )
+    p = 1000003
+    u = (F.col("canonical_id") % p) * 2654435761 % p / float(p)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(names[-1])
+    return labeled.withColumn("split", split)

@@ -654,6 +654,20 @@ def q_dup_ngrams(spark, sf_dir):
     )
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 17 == 0 play the
+    held-out eval set; every remaining doc is checked for any shared
+    8-token window (broadcast semi-join of the eval set's distinct
+    window hashes — textops/decontam.py).  The oracle replays the
+    window derivation with md5 keys and an IN-subquery semi-join."""
+    from cuspatial_spark.textops.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, ev, n=8)
+
+
 def q_langid(spark, sf_dir):
     from cuspatial_spark.textops import language_id
 
@@ -1002,18 +1016,24 @@ def q_repetition(spark, sf_dir):
 
 
 def q_bpe_tokens(spark, sf_dir):
-    """REAL merge-table BPE token counting: the committed 64-merge
-    table (trained with textops.bpe.train_bpe on the sf0.001 corpus)
-    applied as a pure-codegen replace chain — no Python stage, no
-    shuffle.  The oracle replays the IDENTICAL chain in DuckDB
-    (bpe_chain_sql), so merge order, overlap semantics and
-    pre-tokenization are all hash-checked."""
+    """REAL merge-table BPE token counting + sequence packing: the
+    committed 64-merge table (trained with textops.bpe.train_bpe on
+    the sf0.001 corpus) applied as a pure-codegen replace chain — no
+    Python stage, no shuffle — then the counts packed GPT-style into
+    512-token training sequences (concat-and-chunk, scale-safe
+    two-level prefix sum — textops/packing.py).  The oracle replays
+    the IDENTICAL replace chain in DuckDB (bpe_chain_sql) and the
+    packing as one SUM-OVER window, so merge order, overlap
+    semantics, pre-tokenization AND every start/seq assignment are
+    all hash-checked."""
     from cuspatial_spark.textops.bpe import DEFAULT_MERGES, bpe_tokenize
+    from cuspatial_spark.textops.packing import pack_sequences
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return bpe_tokenize(docs, DEFAULT_MERGES).select(
+    counts = bpe_tokenize(docs, DEFAULT_MERGES).select(
         "doc_id", F.col("bpe_n_tokens")
     )
+    return pack_sequences(counts, seq_len=512, weight_col="bpe_n_tokens")
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1482,7 +1502,13 @@ def q_binpreds3(spark, sf_dir):
         "event_id", "pp_intersects", "pp_disjoint", "pp_contains",
         "ptls_intersects", "ptls_disjoint", "ls_within", "ls_crosses",
     )
-    return wide.join(q_binpreds_ls(spark, sf_dir), "event_id")
+    wide = wide.join(q_binpreds_ls(spark, sf_dir), "event_id")
+    # geom_equals folded in (50-cap, freeing a slot for decontam):
+    # left join — the equals fixture is defined for event_id < 200;
+    # rows outside it report false (nulls would hash-mismatch)
+    return wide.join(q_geom_equals(spark, sf_dir), "event_id", "left").withColumn(
+        "geom_equals", F.coalesce("geom_equals", F.lit(False))
+    )
 
 
 def q_derive_traj(spark, sf_dir):
@@ -1769,6 +1795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries (q_projections etc.) keep the total within the driver's
     # 50-query correctness cap so EVERY oracle gets a hard-signal row
     return {
+        # round-5e: benchmark decontamination (n-gram overlap vs an
+        # eval set — broadcast semi-join); bpe_tokens gained sequence
+        # packing; geom_equals folded into binpreds3 to stay at 50
+        "decontam": q_decontam,
         # round-5: real multimodal decode (imagecodec.py) + real BPE
         "radius_join": q_radius_join,
         "video_features": q_video_features,
@@ -1817,7 +1847,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_pairwise": q_pip_pairwise,
         "intersection": q_intersection,
         "multipoint_ops": q_multipoint_ops,
-        "geom_equals": q_geom_equals,
         "binpreds3": q_binpreds3,
         "derive_traj": q_derive_traj,
         "extract_text": q_extract_text,
@@ -1833,6 +1862,16 @@ def _dup_ngrams_oracle() -> str:
     from cuspatial_spark.textops.spans import duplicated_ngram_oracle_sql
 
     return duplicated_ngram_oracle_sql(n=8)
+
+
+def _decontam_oracle() -> str:
+    from cuspatial_spark.textops.decontam import decontaminate_oracle_sql
+
+    return decontaminate_oracle_sql(
+        n=8,
+        corpus_where="doc_id % 17 <> 0",
+        eval_where="doc_id % 17 = 0",
+    )
 
 
 def _repetition_oracle() -> str:
@@ -1889,11 +1928,17 @@ def _clean_text_oracle() -> str:
 
 
 def _bpe_oracle() -> str:
-    """DuckDB replay of the committed BPE replace chain."""
+    """DuckDB replay of the committed BPE replace chain + the
+    concat-and-chunk sequence packing window."""
     from cuspatial_spark.textops.bpe import DEFAULT_MERGES, bpe_chain_sql
+    from cuspatial_spark.textops.packing import pack_oracle_suffix_sql
 
     expr = bpe_chain_sql(DEFAULT_MERGES, "text")
-    return f"SELECT doc_id, {expr} AS bpe_n_tokens FROM documents"
+    counts = f"SELECT doc_id, {expr} AS bpe_n_tokens FROM documents"
+    suffix = pack_oracle_suffix_sql(
+        "counts", seq_len=512, weight_col="bpe_n_tokens", id_col="doc_id"
+    )
+    return f"WITH counts AS ({counts}), {suffix}"
 
 
 def _crossing_sql(px: str = "p.x", py: str = "p.y", s: str = "s") -> str:
@@ -2562,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "dup_ngrams": _dup_ngrams_oracle(),
+        "decontam": _decontam_oracle(),
         "langid": f"""
             WITH scored AS (SELECT doc_id, {lang_cols} FROM documents),
             unrolled AS (
@@ -3411,6 +3457,13 @@ def oracle_sql() -> dict[str, str]:
         WITH c0 AS ({o["binpreds3"]}), c1 AS ({o.pop("binpreds_ls")})
         SELECT c0.*, c1.intersects, c1.crosses, c1.touches, c1.overlaps
         FROM c0 JOIN c1 USING (event_id)
+    """
+    # geom_equals folded into binpreds3 too (frees the decontam slot);
+    # LEFT join — the equals fixture exists only for event_id < 200
+    o["binpreds3"] = f"""
+        WITH b3 AS ({o["binpreds3"]}), ge AS ({o.pop("geom_equals")})
+        SELECT b3.*, coalesce(ge.geom_equals, FALSE) AS geom_equals
+        FROM b3 LEFT JOIN ge USING (event_id)
     """
     # geo_knn: brute cross join + row_number over the same haversine
     # arithmetic; the self-id exclusion mirrors the planar knn_join

@@ -46,15 +46,25 @@ def decontaminate(
     )
     if broadcast:
         eval_hashes = F.broadcast(eval_hashes)
-    base = corpus.select(id_col, _window_hashes(text_col, n).alias("__wh"))
     hits = (
-        base.select(id_col, F.explode("__wh").alias("wh"))
+        corpus.select(
+            id_col, F.explode(_window_hashes(text_col, n)).alias("wh")
+        )
         .join(eval_hashes, "wh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+    # the totals branch re-reads the scan but does NOT re-hash:
+    # n_windows is plain arithmetic on the token count (hashing every
+    # window twice would double the dominant per-byte cost)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
     return (
-        base.select(id_col, F.size("__wh").cast("long").alias("n_windows"))
+        corpus.select(
+            id_col,
+            F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+        )
         .join(hits, on=id_col, how="left")
         .select(
             id_col,

@@ -117,3 +117,87 @@ def prepare_corpus(
             how="left_anti",
         )
     return deduped
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    decontam_n: int = 13,
+    **corpus_kwargs,
+) -> DataFrame:
+    """The full gate sequence from raw crawl table to packed training
+    rows: signals + quality gates + dedup (:func:`prepare_corpus`),
+    benchmark decontamination against ``eval_docs`` (13-gram overlap
+    by default — the GPT-3/Gopher setting; decontam.py), then
+    GPT-style concat-and-chunk sequence assignment (packing.py) over
+    the surviving docs' BPE token counts.
+
+    Returns the surviving docs with every signal column plus
+    ``start_token`` / ``seq_first`` / ``seq_last`` / ``n_seqs``.
+    Shuffle budget on top of :func:`prepare_corpus`: one broadcast
+    semi-join (decontam — zero shuffles of the corpus side) + the
+    packing range shuffle.  Feed the result to
+    :func:`write_training_shards` to materialize.
+    """
+    from .decontam import decontaminate
+    from .packing import pack_sequences
+
+    corpus = prepare_corpus(docs, id_col=id_col, text_col=text_col, **corpus_kwargs)
+    if eval_docs is not None:
+        flags = decontaminate(
+            corpus.select(id_col, text_col),
+            eval_docs,
+            n=decontam_n,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        corpus = corpus.join(
+            flags.where(~F.col("contaminated")).select(id_col),
+            on=id_col,
+            how="left_semi",
+        )
+    packed = pack_sequences(
+        corpus.select(id_col, "bpe_n_tokens"),
+        seq_len=seq_len,
+        weight_col="bpe_n_tokens",
+        id_col=id_col,
+    ).drop("bpe_n_tokens")
+    return corpus.join(packed, on=id_col)
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    seq_len: int = 2048,
+    tokens_per_shard: int = 512 * 1024 * 1024,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize packed training rows as size-bounded, deterministic
+    shards: shard k holds the docs whose first token falls in
+    ``[k * tokens_per_shard, (k+1) * tokens_per_shard)``, stored as
+    one Hive partition directory (``shard=k``) with rows in id order.
+
+    A trainer streams shard directories independently; because shard
+    boundaries are pure arithmetic on ``start_token``, the layout is a
+    deterministic function of the corpus — re-running the job bit-
+    reproduces it.  Cost: ONE range shuffle on (shard, id); every
+    output file covers a contiguous token range, so file sizes are
+    bounded by ``tokens_per_shard`` regardless of doc-length skew.
+    """
+    seqs_per_shard = max(tokens_per_shard // seq_len, 1)
+    out = packed.withColumn(
+        "shard",
+        F.floor(F.col("seq_first") / F.lit(seqs_per_shard)).cast("long"),
+    )
+    (
+        out.repartitionByRange("shard", id_col)
+        .sortWithinPartitions("shard", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -60,11 +60,8 @@ def duplicated_ngram_spans(
     and ``n_spans`` (maximal runs of consecutive duplicated windows —
     the spans the Lee et al. procedure would cut).  Every input doc
     appears in the output (zeros when clean)."""
-    base = docs.select(
-        id_col, _window_hashes(text_col, n).alias("__wh")
-    )
-    exploded = base.select(
-        id_col, F.posexplode("__wh").alias("widx", "wh")
+    exploded = docs.select(
+        id_col, F.posexplode(_window_hashes(text_col, n)).alias("widx", "wh")
     )
     cnt = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     flagged = (
@@ -94,8 +91,15 @@ def duplicated_ngram_spans(
     per_doc = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_windows"), breaks.alias("n_spans")
     )
-    totals = base.select(
-        id_col, F.size("__wh").cast("long").alias("n_windows")
+    # totals re-reads the scan but does NOT re-hash: n_windows is plain
+    # arithmetic on the token count (the hash transform would otherwise
+    # be computed twice — once per join branch)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    totals = docs.select(
+        id_col,
+        F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
     )
     return (
         totals.join(per_doc, on=id_col, how="left")

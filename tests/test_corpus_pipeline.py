@@ -85,3 +85,48 @@ class TestPrepareCorpus:
             "top_bigram_frac", "dup_bigram_frac", "bpe_n_tokens",
         ):
             assert col in out.columns
+
+
+class TestPrepareTrainingData:
+    def test_decontam_gate_and_packing(self, spark, tmp_path):
+        from cuspatial_spark.textops.pipeline import (
+            prepare_training_data,
+            write_training_shards,
+        )
+
+        # doc 7 shares a 13-gram with the eval set; GOOD docs don't
+        leaky = GOOD + " the quick brown fox jumps over the lazy dog near the old river bank today"
+        docs = _docs(spark).union(
+            spark.createDataFrame([(7, leaky)], schema="doc_id: long, text: string")
+        )
+        ev = spark.createDataFrame(
+            [(100, "prefix words the quick brown fox jumps over the lazy dog near the old river bank today suffix")],
+            schema="doc_id: long, text: string",
+        )
+        out = prepare_training_data(docs, eval_docs=ev, seq_len=16, decontam_n=13)
+        rows = {r.doc_id: r.asDict() for r in out.collect()}
+        assert 7 not in rows            # decontaminated
+        assert 0 in rows and 6 in rows  # gates/dedup as before
+        # packing invariants over the survivors in id order
+        ids = sorted(rows)
+        acc = 0
+        for i in ids:
+            assert rows[i]["start_token"] == acc
+            assert rows[i]["seq_first"] == acc // 16
+            acc += rows[i]["bpe_n_tokens"]
+
+        # shard writer: deterministic hive layout, id-sorted files
+        path = str(tmp_path / "shards")
+        write_training_shards(
+            out, path, seq_len=16, tokens_per_shard=32, id_col="doc_id"
+        )
+        back = spark.read.parquet(path)
+        assert back.count() == len(ids)
+        shards = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+        for i in ids:
+            assert shards[i] == rows[i]["seq_first"] // 2  # 32 tok / 16 seq_len
+    def test_no_eval_set_skips_decontam(self, spark):
+        from cuspatial_spark.textops.pipeline import prepare_training_data
+
+        out = prepare_training_data(_docs(spark), seq_len=64)
+        assert "start_token" in out.columns and out.count() > 0

@@ -963,6 +963,7 @@ def q_url_canon(spark, sf_dir):
     domain-share / recrawl-factor signals a sampling stage reads —
     and host_sample then applies the domain-balance cap (3 docs per
     host, earliest doc_id wins; salted two-phase top-k)."""
+    from cuspatial_spark.textops.mixture import mixture_rates, sample_mixture
     from cuspatial_spark.textops.urls import (
         canonical_url,
         host_expr,
@@ -991,9 +992,29 @@ def q_url_canon(spark, sf_dir):
     joined = deduped.withColumn(
         "host", host_expr(F.col("canonical_url"))
     ).join(stats, "host")
-    return host_sample(joined, cap=3, order_col="doc_id").select(
+    sampled = host_sample(joined, cap=3, order_col="doc_id").select(
         "doc_id", "canonical_url", "host", "host_rows", "host_urls",
         "host_rank",
+    )
+    # round-5e: temperature-weighted mixture sampling over the balanced
+    # corpus (textops/mixture.py).  The domain key is a deliberately
+    # SKEWED tier (sqrt buckets of doc_id) so rates spread across
+    # <1 (Bernoulli drops) and >1 (multi-copy fan-out) — alpha=0.5
+    # upsamples the tail tiers; the oracle replays the rate math
+    # (round-9 pinned) and the md5-uniform Bernoulli exactly
+    sampled = sampled.withColumn(
+        "mix_domain",
+        F.concat(
+            F.lit("t"),
+            F.floor(F.sqrt(F.col("doc_id") % 100)).cast("int").cast("string"),
+        ),
+    )
+    rates = mixture_rates(sampled, "mix_domain", alpha=0.5, max_rate=4.0)
+    return sample_mixture(
+        sampled, rates, "mix_domain", id_col="doc_id", seed=11
+    ).select(
+        "doc_id", "canonical_url", "host", "host_rows", "host_urls",
+        "host_rank", "mix_domain", "copy",
     )
 
 
@@ -3342,9 +3363,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id)
                         AS host_rank
               FROM joined
+            ),
+            samp AS (
+              SELECT doc_id, canonical_url, host, host_rows, host_urls, host_rank,
+                     't' || CAST(CAST(floor(sqrt(doc_id % 100)) AS INT) AS VARCHAR)
+                       AS mix_domain
+              FROM capped WHERE host_rank <= 3
+            ),
+            -- mixture sampling replay (textops/mixture.py): alpha=0.5
+            -- temperature rates over the skewed sqrt-bucket tiers
+            -- (round-9 pinned on both engines), md5-uniform Bernoulli,
+            -- UNNEST copy fan-out
+            mix_c AS (
+              SELECT mix_domain AS domain, CAST(count(*) AS DOUBLE) AS c
+              FROM samp GROUP BY mix_domain
+            ),
+            mix_t AS (SELECT sum(c) AS n, sum(pow(c, 0.5)) AS z FROM mix_c),
+            mix_rates AS (
+              SELECT domain,
+                     round(least(t.n * pow(c, 0.5) / t.z / c, 4.0), 9) AS rate
+              FROM mix_c, mix_t t
+            ),
+            mixn AS (
+              SELECT s.*, CAST(floor(r.rate) AS INT)
+                     + CASE WHEN CAST(('0x' || substring(md5('11:' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 / 4294967296.0 < r.rate - floor(r.rate)
+                            THEN 1 ELSE 0 END AS __n
+              FROM samp s JOIN mix_rates r ON s.mix_domain = r.domain
             )
-            SELECT doc_id, canonical_url, host, host_rows, host_urls, host_rank
-            FROM capped WHERE host_rank <= 3
+            SELECT doc_id, canonical_url, host, host_rows, host_urls,
+                   host_rank, mix_domain, CAST(u.c AS INT) AS copy
+            FROM mixn, UNNEST(range(0, __n)) AS u(c)
+            WHERE __n > 0
         """,
     }
     # ------------------------------------------- consolidated oracles

@@ -68,13 +68,22 @@ def mixture_rates(
         F.sum("c").alias("n"), F.sum(F.pow("c", F.lit(alpha))).alias("z")
     ).collect()[0]
     budget = float(total_rows if total_rows is not None else tot["n"])
-    # target_d = budget * c^alpha / z ; rate = target / c
+    # target_d = budget * c^alpha / z ; rate = target / c.  Rates are
+    # rounded to 9 decimals so any replaying engine (whose pow()/sum
+    # may differ in the last ulp) lands on the bit-identical rate —
+    # floor(rate) and the Bernoulli threshold then agree exactly.
     return counts.select(
         "domain",
         "c",
-        F.least(
-            F.lit(budget) * F.pow("c", F.lit(alpha)) / F.lit(float(tot["z"])) / F.col("c"),
-            F.lit(float(max_rate)),
+        F.round(
+            F.least(
+                F.lit(budget)
+                * F.pow("c", F.lit(alpha))
+                / F.lit(float(tot["z"]))
+                / F.col("c"),
+                F.lit(float(max_rate)),
+            ),
+            9,
         ).alias("rate"),
     )
 
@@ -110,6 +119,35 @@ def sample_mixture(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n", "rate")
     )
+
+
+def mixture_rates_oracle_suffix_sql(
+    docs_cte: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    total_rows: int | None = None,
+    max_rate: float = 10.0,
+) -> str:
+    """ANSI-SQL replay of :func:`mixture_rates` (row-count mass) over
+    a CTE named ``docs_cte``; emits a CTE chain ending in
+    ``mix_rates(domain, c, rate)``.  The round(…, 9) matches the
+    Spark side, absorbing last-ulp pow()/sum-order differences."""
+    budget = (
+        f"CAST({total_rows} AS DOUBLE)" if total_rows is not None else "t.n"
+    )
+    return f"""
+        mix_c AS (
+          SELECT {domain_col} AS domain, CAST(count(*) AS DOUBLE) AS c
+          FROM {docs_cte} GROUP BY {domain_col}
+        ),
+        mix_t AS (SELECT sum(c) AS n, sum(pow(c, {alpha})) AS z FROM mix_c),
+        mix_rates AS (
+          SELECT domain, c,
+                 round(least({budget} * pow(c, {alpha}) / t.z / c,
+                             {float(max_rate)}), 9) AS rate
+          FROM mix_c, mix_t t
+        )
+    """
 
 
 def mixture_oracle_suffix_sql(

@@ -42,6 +42,10 @@ N_BPE = int(os.environ.get("SCALING_N_BPE", "4000000"))
 # tasks saturate every level being compared
 N_SEMDEDUP = int(os.environ.get("SCALING_N_SEMDEDUP", "400000"))
 K_SEMDEDUP = int(os.environ.get("SCALING_K_SEMDEDUP", "256"))
+# 'traindata': benchmark decontamination (broadcast semi-join of eval
+# window hashes) + sequence packing (two-level range-partitioned
+# prefix sum) over a synthetic corpus — the round-5 train-data tail
+N_TRAIN = int(os.environ.get("SCALING_N_TRAIN", "2000000"))
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))  # min-of-N per level
 AOI = dict(x_min=0.0, x_max=8.0, y_min=0.0, y_max=8.0)
 
@@ -228,6 +232,73 @@ def run_child(cpus: int) -> None:
         spark.stop()
         return
 
+    if JOB == "traindata":
+        from pyspark.sql import functions as F
+
+        from cuspatial_spark.textops.decontam import decontaminate
+        from cuspatial_spark.textops.packing import pack_sequences
+
+        corpus = (
+            spark.range(0, N_TRAIN, 1, cpus * 4)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    # 7 shared lead tokens: every 8-window crossing the
+                    # lead includes the per-doc phrase id, so overlap
+                    # with the eval set is ONLY via matching phrase ids
+                    F.lit("alpha beta gamma delta epsilon zeta eta phrase"),
+                    (F.col("id") % 5003).cast("string"),
+                    F.lit(" iota kappa lambda mu nu xi omicron pi tail "),
+                    (F.col("id") % 211).cast("string"),
+                ).alias("text"),
+            )
+            .cache()
+        )
+        corpus.count()
+        # eval phrase ids < 400 -> ~8% of corpus docs contaminated
+        ev = (
+            spark.range(0, 2000)
+            .select(
+                F.concat(
+                    F.lit("evaltok "),
+                    F.lit("alpha beta gamma delta epsilon zeta eta phrase"),
+                    (F.col("id") % 400).cast("string"),
+                ).alias("text")
+            )
+        )
+
+        def job():
+            flags = decontaminate(corpus, ev, n=8)
+            counts = (
+                corpus.join(
+                    flags.where(~F.col("contaminated")).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+                .select(
+                    "doc_id",
+                    F.size(F.split("text", " +")).cast("long").alias("n_tokens"),
+                )
+            )
+            return pack_sequences(counts, seq_len=512).agg(
+                F.sum("n_seqs").alias("seqs"), F.max("seq_last").alias("last")
+            )
+
+        job().collect()  # warmup
+        runs = []
+        last = 0
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            last = job().collect()[0]["last"]
+            runs.append(time.perf_counter() - t0)
+        dt = min(runs)
+        print(json.dumps({"cpus": cpus, "seconds": round(dt, 3),
+                          "all_runs": [round(r, 3) for r in runs],
+                          "rows": N_TRAIN, "last_seq": int(last),
+                          "rows_per_sec": round(N_TRAIN / dt, 1)}))
+        spark.stop()
+        return
+
     polys = _scaled_polygons()
     pts = _points(spark, N_PAGES, partitions=cpus * 4).cache()
     pts.count()  # materialize input before timing
@@ -281,9 +352,10 @@ def main() -> None:
             "extract": "HTML->text extraction (cached input)",
             "bpe": "merge-table BPE tokenization (cached input)",
             "semdedup": "SemDeDup cluster sweep (cached input)",
+            "traindata": "decontamination + sequence packing (cached input)",
         }[JOB],
         "rows": {"pip": N_PAGES, "extract": N_EXTRACT, "bpe": N_BPE,
-                 "semdedup": N_SEMDEDUP}[JOB],
+                 "semdedup": N_SEMDEDUP, "traindata": N_TRAIN}[JOB],
         f"local[{n}]": results[n],
         f"local[{m}]": results[m],
         "scaling_efficiency": round(eff, 3),

@@ -29,10 +29,14 @@ def pack_sequences(
     seq_len: int = 2048,
     weight_col: str = "n_tokens",
     id_col: str = "doc_id",
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Assign every document its place in the packed token stream.
 
-    Documents are concatenated in ``id_col`` order; the stream is cut
+    Documents are concatenated in ``id_col`` order — or, with
+    ``shuffle_seed`` set, in ``md5(seed:id)`` order: the deterministic
+    global shuffle a training run applies before concat-and-chunk so
+    adjacent crawl documents don't share sequences.  The stream is cut
     into sequences of exactly ``seq_len`` tokens (documents may span a
     cut — that is the point of concat-and-chunk).  Returns one row per
     input document:
@@ -44,20 +48,35 @@ def pack_sequences(
     - ``n_seqs``       — ``seq_last - seq_first + 1``
 
     Null/negative weights count as 0.  The assignment is a pure
-    function of the (id, weight) multiset, so any engine replays it
-    with one ``SUM ... OVER (ORDER BY id ROWS UNBOUNDED PRECEDING AND
-    1 PRECEDING)`` — see ``pack_oracle_suffix_sql``.
+    function of the (id, weight) multiset and the seed, so any engine
+    replays it with one ``SUM ... OVER (ORDER BY <order key> ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — see
+    ``pack_oracle_suffix_sql``.  The shuffled mode costs the same one
+    range shuffle: the range partitioner just keys on the md5 order
+    key instead of the id.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive: {seq_len}")
+    if shuffle_seed is None:
+        order_cols = [id_col]
+        sel_extra = []
+    else:
+        okey = F.md5(
+            F.concat_ws(
+                ":", F.lit(str(int(shuffle_seed))), F.col(id_col).cast("string")
+            )
+        ).alias("__ok")
+        order_cols = ["__ok", id_col]
+        sel_extra = [okey]
     counts = (
         docs.select(
             id_col,
             F.greatest(
                 F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
             ).alias("__w"),
+            *sel_extra,
         )
-        .repartitionByRange(id_col)
+        .repartitionByRange(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         # pin partition assignment between the totals pass and the
         # window pass (same contract as derive_trajectories)
@@ -77,7 +96,7 @@ def pack_sequences(
     )
     w = (
         Window.partitionBy("__pid")
-        .orderBy(id_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = (F.col("__base") + F.coalesce(F.sum("__w").over(w), F.lit(0))).alias(
@@ -106,15 +125,22 @@ def pack_oracle_suffix_sql(
     seq_len: int = 2048,
     weight_col: str = "n_tokens",
     id_col: str = "doc_id",
+    shuffle_seed: int | None = None,
 ) -> str:
     """ANSI-SQL replay of :func:`pack_sequences` over a CTE named
     ``counts_cte`` exposing ``(id_col, weight_col)``."""
     w = f"greatest(coalesce(CAST({weight_col} AS BIGINT), 0), 0)"
+    if shuffle_seed is None:
+        order = id_col
+    else:
+        order = (
+            f"md5('{int(shuffle_seed)}:' || CAST({id_col} AS VARCHAR)), {id_col}"
+        )
     return f"""
         pref AS (
           SELECT {id_col}, {w} AS __w,
                  CAST(coalesce(SUM({w}) OVER (
-                   ORDER BY {id_col}
+                   ORDER BY {order}
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                  ), 0) AS BIGINT) AS start_token
           FROM {counts_cte}

@@ -126,6 +126,7 @@ def prepare_training_data(
     text_col: str = "text",
     seq_len: int = 2048,
     decontam_n: int = 13,
+    shuffle_seed: int | None = None,
     **corpus_kwargs,
 ) -> DataFrame:
     """The full gate sequence from raw crawl table to packed training
@@ -164,6 +165,7 @@ def prepare_training_data(
         seq_len=seq_len,
         weight_col="bpe_n_tokens",
         id_col=id_col,
+        shuffle_seed=shuffle_seed,
     ).drop("bpe_n_tokens")
     return corpus.join(packed, on=id_col)
 

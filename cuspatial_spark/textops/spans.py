@@ -27,23 +27,33 @@ from pyspark.sql import functions as F
 
 
 def _window_hashes(text_col: str, n: int):
-    """Array of xxhash64 hashes of each n-token window (whitespace
+    """Array of 64-bit hashes of each n-token window (whitespace
     tokens); empty array when the row has fewer than n tokens.
 
-    64-bit keys instead of md5 strings: the hash itself is ~5x
-    cheaper, and shuffle #1's sort key shrinks from a 32-char string
-    to one long.  Dup-window COUNTS are what the operator emits, and
-    counts depend only on hash-equality classes, so the md5-based
-    relational oracle stays valid; expected 64-bit collisions are
-    ~m^2/2^65 (under 30 spurious dup windows across a 10^12-window
-    corpus — measure-zero for span removal)."""
+    Each token is xxhash64-ed ONCE, then window keys are an
+    xxhash64 fold of the n token hashes (two-long hash per step,
+    order-sensitive, pure codegen long arithmetic) — no per-window
+    string slice/concat (profiled: the string churn saturated memory
+    bandwidth and capped 2→8-core scaling of the decontam/span jobs).
+    Dup-window COUNTS
+    are what the operators emit, and counts depend only on
+    hash-equality classes — identical windows always collide, distinct
+    windows collide with probability ~2^-64 — so the md5-based
+    relational oracles stay valid; expected spurious collisions are
+    ~m^2/2^65 (under 30 across a 10^12-window corpus — measure-zero
+    for span removal / contamination flagging)."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     n_win = F.size(toks) - F.lit(n - 1)
     return F.when(
         n_win > 0,
         F.transform(
             F.sequence(F.lit(1), n_win),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, F.lit(n)))),
+            lambda i: F.aggregate(
+                F.slice(th, i, F.lit(n)),
+                F.lit(42).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 

@@ -97,3 +97,30 @@ class TestPackSequences:
         counts = spark.createDataFrame([(1, 4)], schema="doc_id: long, n_tokens: long")
         with pytest.raises(ValueError):
             pack_sequences(counts, seq_len=0)
+
+    def test_shuffled_order_matches_sql_oracle(self, spark):
+        import duckdb
+
+        n = 300
+        counts = spark.range(n).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 11 + 1).alias("n_tokens")
+        ).repartition(7)
+        out = pack_sequences(counts, seq_len=64, shuffle_seed=42)
+        got = sorted(map(tuple, out.collect()))
+
+        from cuspatial_spark.textops.packing import pack_oracle_suffix_sql
+
+        con = duckdb.connect()
+        con.register("counts_pd", counts.toPandas())
+        suffix = pack_oracle_suffix_sql("counts", seq_len=64, shuffle_seed=42)
+        q = f"WITH counts AS (SELECT * FROM counts_pd), {suffix}"
+        want = sorted(map(tuple, con.execute(q).fetchall()))
+        assert got == [tuple(int(v) for v in r) for r in want]
+
+        # the shuffle really permutes: some doc's start differs from
+        # the id-order packing, while the total token stream is equal
+        plain = {r["doc_id"]: r["start_token"]
+                 for r in pack_sequences(counts, seq_len=64).collect()}
+        shuf = {r["doc_id"]: r["start_token"] for r in out.collect()}
+        assert any(plain[i] != shuf[i] for i in plain)
+        assert sum(r[1] for r in got) == sum(i % 11 + 1 for i in range(n))

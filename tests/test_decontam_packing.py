@@ -124,3 +124,42 @@ class TestPackSequences:
         shuf = {r["doc_id"]: r["start_token"] for r in out.collect()}
         assert any(plain[i] != shuf[i] for i in plain)
         assert sum(r[1] for r in got) == sum(i % 11 + 1 for i in range(n))
+
+
+class TestPackingProperties:
+    """Hypothesis sweep of the packing invariants — NumPy replays the
+    exclusive prefix sum / chunk arithmetic for arbitrary weight
+    multisets (the sf corpus and unit fixtures can't cover e.g. runs
+    of zeros at cut boundaries or single giant docs)."""
+
+    def test_random_weights_match_numpy_reference(self, spark):
+        from hypothesis import given, settings, strategies as st
+        import numpy as np
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(st.integers(-3, 40), st.none()),
+                min_size=1, max_size=60,
+            ),
+            st.integers(1, 17),
+        )
+        def check(weights, seq_len):
+            counts = spark.createDataFrame(
+                [(i, w) for i, w in enumerate(weights)],
+                schema="doc_id: long, n_tokens: long",
+            ).repartition(5)
+            got = {
+                r["doc_id"]: r.asDict()
+                for r in pack_sequences(counts, seq_len=seq_len).collect()
+            }
+            w = np.array([max(x or 0, 0) for x in weights], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(w)[:-1]])
+            for i in range(len(weights)):
+                r = got[i]
+                assert r["start_token"] == starts[i]
+                assert r["seq_first"] == starts[i] // seq_len
+                assert r["seq_last"] == max(starts[i] + w[i] - 1, starts[i]) // seq_len
+                assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+
+        check()

@@ -650,7 +650,7 @@ def q_dup_ngrams(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return duplicated_ngram_spans(docs, n=8).select(
-        "doc_id", "n_windows", "n_dup_windows", "n_spans"
+        "doc_id", "n_windows", "n_dup_windows", "n_spans", "n_dup_tokens"
     )
 
 

@@ -48,6 +48,7 @@ def mixture_rates(
     total_rows: int | None = None,
     weight_col: str | None = None,
     max_rate: float = 10.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-domain sampling rates: ``rate_d = target_d / c_d`` where
     ``target_d ∝ c_d ** alpha`` normalized so the expected output size
@@ -57,6 +58,14 @@ def mixture_rates(
     single tiny domain cannot explode the output.
 
     Returns (domain, c, rate) — #domains rows, broadcastable.
+
+    With ``materialize`` (default) the per-domain counts are collected
+    once (#domains rows — bounded by the domain vocabulary, not the
+    corpus) and the rate table is rebuilt as a LITERAL DataFrame: the
+    corpus aggregation runs exactly one job, and downstream joins
+    against the rates don't re-embed (and re-execute) the corpus
+    lineage in their plans.  ``materialize=False`` keeps the fully
+    lazy plan for callers that manage caching themselves.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1]: {alpha}")
@@ -64,9 +73,15 @@ def mixture_rates(
         F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
     ).cast("double")
     counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(mass.alias("c"))
+    if materialize:
+        schema = counts.schema
+        rows = counts.collect()
+        counts = docs.sparkSession.createDataFrame(rows, schema=schema)
     tot = counts.agg(
         F.sum("c").alias("n"), F.sum(F.pow("c", F.lit(alpha))).alias("z")
     ).collect()[0]
+    if tot["n"] is None:  # empty input: empty rate table, same schema
+        return counts.select("domain", "c", F.lit(0.0).alias("rate"))
     budget = float(total_rows if total_rows is not None else tot["n"])
     # target_d = budget * c^alpha / z ; rate = target / c.  Rates are
     # rounded to 9 decimals so any replaying engine (whose pow()/sum

@@ -121,6 +121,17 @@ def duplicated_ngram_spans(
             ),
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         )
+        # tokens covered by >= 1 duplicated window — what span REMOVAL
+        # cuts.  Closed form over the island stats: each island of k
+        # consecutive windows covers k + n - 1 tokens, so the total is
+        # n_dup_windows + n_spans * (n - 1).  Pure arithmetic, no
+        # extra pass.
+        .withColumn(
+            "n_dup_tokens",
+            (F.col("n_dup_windows") + F.col("n_spans") * F.lit(n - 1)).cast(
+                "long"
+            ),
+        )
     )
 
 
@@ -161,6 +172,101 @@ def duplicated_ngram_oracle_sql(
         SELECT b.{id_col},
                CAST(greatest(len(b.toks) - {n} + 1, 0) AS BIGINT) AS n_windows,
                CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
-               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans
+               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(p.n_dup_windows, 0)
+                    + coalesce(p.n_spans, 0) * {n - 1} AS BIGINT) AS n_dup_tokens
         FROM base b LEFT JOIN per_doc p USING ({id_col})
     """
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    result: str = "clean_text",
+) -> DataFrame:
+    """Cut every token covered by a corpus-duplicated n-token window —
+    the removal step of Lee et al. 2022 exact-substring dedup (fixed-
+    window form).  Returns the input rows plus ``result`` (the cleaned
+    text, single-space joined) and ``n_tokens_removed``.
+
+    Scale shape: the same two uniform-hash shuffles as
+    :func:`duplicated_ngram_spans` to find each doc's duplicated
+    window starts, one ``id_col`` join back onto the corpus, then the
+    cut is row-local: flagged starts are merged into maximal islands
+    (one fold) and each token position is probed against the island
+    list — O(tokens x islands) per row, and islands is the doc's span
+    count (a fully-duplicated doc is ONE island), never the window
+    count.
+    """
+    exploded = docs.select(
+        id_col, F.posexplode(_window_hashes(text_col, n)).alias("widx", "wh")
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    flags = (
+        exploded.withColumn("__c", cnt)
+        .where(F.col("__c") >= 2)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("widx")).alias("__flags"))
+    )
+    empty_islands = F.array().cast("array<struct<a: long, b: long>>")
+    islands = F.aggregate(
+        F.coalesce(F.col("__flags"), F.array().cast("array<int>")),
+        F.struct(
+            empty_islands.alias("arr"),
+            F.lit(-1).cast("long").alias("cs"),
+            F.lit(-9).cast("long").alias("prev"),
+        ),
+        lambda acc, w: F.struct(
+            F.when(w.cast("long") == acc["prev"] + 1, acc["arr"]).otherwise(
+                F.when(
+                    acc["cs"] >= 0,
+                    F.concat(
+                        acc["arr"],
+                        F.array(
+                            F.struct(
+                                acc["cs"].alias("a"), acc["prev"].alias("b")
+                            )
+                        ),
+                    ),
+                ).otherwise(acc["arr"])
+            ).alias("arr"),
+            F.when(w.cast("long") == acc["prev"] + 1, acc["cs"])
+            .otherwise(w.cast("long"))
+            .alias("cs"),
+            w.cast("long").alias("prev"),
+        ),
+        lambda acc: F.when(
+            acc["cs"] >= 0,
+            F.concat(
+                acc["arr"],
+                F.array(F.struct(acc["cs"].alias("a"), acc["prev"].alias("b"))),
+            ),
+        ).otherwise(acc["arr"]),
+    )
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    kept = F.filter(
+        toks,
+        lambda t, j: ~F.exists(
+            F.col("__isl"),
+            lambda s: (j.cast("long") >= s["a"])
+            & (j.cast("long") <= s["b"] + F.lit(n - 1)),
+        ),
+    )
+    return (
+        docs.join(flags, on=id_col, how="left")
+        .withColumn("__isl", islands)
+        .withColumn("__kept", kept)
+        .withColumn(
+            "n_tokens_removed",
+            F.when(
+                F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+                F.lit(0),
+            )
+            .otherwise(F.size(toks) - F.size("__kept"))
+            .cast("long"),
+        )
+        .withColumn(result, F.array_join("__kept", " "))
+        .drop("__flags", "__isl", "__kept")
+    )

@@ -73,7 +73,7 @@ class TestDuplicatedNgramSpans:
             )
         )
         got = {
-            r.doc_id: (r.n_windows, r.n_dup_windows, r.n_spans)
+            r.doc_id: (r.n_windows, r.n_dup_windows, r.n_spans, r.n_dup_tokens)
             for r in duplicated_ngram_spans(df, n=N).collect()
         }
         con = duckdb.connect()
@@ -82,10 +82,11 @@ class TestDuplicatedNgramSpans:
             + ", ".join(f"({k}, '{v}')" for k, v in TEXTS.items())
             + ") t(doc_id, text)"
         )
-        for doc_id, nw, nd, ns in con.execute(
+        for doc_id, nw, nd, ns, nt in con.execute(
             duplicated_ngram_oracle_sql(n=N)
         ).fetchall():
-            assert got[doc_id] == (nw, nd, ns), doc_id
+            assert got[doc_id] == (nw, nd, ns, nt), doc_id
+            assert nt == nd + ns * (N - 1)
 
     def test_span_merging(self, spark):
         # 10 tokens all inside one long duplicated region -> ONE span

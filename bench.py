@@ -119,6 +119,10 @@ HEADLINE = [
     # doubling over the spherical equi-join — the north-star
     # "S2 cells + kNN" shape)
     "geo_knn",
+    # round 5e: benchmark decontamination (eval-window broadcast
+    # semi-join + token-hash-fold window keys); bpe_tokens above now
+    # includes sequence packing and url_canon includes mixture sampling
+    "decontam",
 ]
 
 
@@ -243,10 +247,16 @@ def main():
         contended = bool(calib and min(gauges) < 0.7 * calib)
     gave_up = contended and clean_retries > 0
     timings = {k: round(v, 3) for k, v in timings.items()}
-    for name, t in timings.items():
-        prev = qbest.get(name)
-        if prev is None or t < prev:
-            qbest[name] = t
+    # per-query floors are sf-specific by contract (sf0.1, the driver's
+    # bench scale): a smoke run at another sf must not pollute them
+    floors_sf = float(calib_all.get("sf", 0.1))
+    run_sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    if run_sf == floors_sf:
+        for name, t in timings.items():
+            prev = qbest.get(name)
+            if prev is None or t < prev:
+                qbest[name] = t
+    calib_all.setdefault("sf", floors_sf)
     calib_all["gauge_best_iters_per_sec"] = round(calib, 1)
     _store_calibration(calib_all)
 
@@ -289,7 +299,9 @@ def main():
             steady_best is None or steady_sec <= 3.0 * steady_best
         ):
             break
-    if steady_best is None or steady_sec < steady_best:
+    # steady floor only at the contract row count (a smoke run with a
+    # smaller BENCH_STEADY_ROWS must not pollute it)
+    if n_big == 32000000 and (steady_best is None or steady_sec < steady_best):
         calib_all["steady_best_sec"] = round(steady_sec, 3)
         _store_calibration(calib_all)
     big.unpersist()

@@ -1485,7 +1485,7 @@ def q_geo_knn(spark, sf_dir):
     )
     out = geodesic_knn_join(
         pois, pages, k=5, id_col="poi_id", query_id_col="query_id",
-        initial_radius_km=2000.0,
+        initial_radius_km="auto",
     )
     return out.select(
         "query_id", "neighbor_id",

@@ -132,7 +132,7 @@ def geodesic_knn_join(
     lat: str = "lat",
     id_col: str = "point_id",
     query_id_col: str = "query_id",
-    initial_radius_km: float = 100.0,
+    initial_radius_km: float | str = 100.0,
     max_rounds: int = 8,
     earth_radius_km: float = EARTH_RADIUS_KM,
 ) -> DataFrame:
@@ -160,6 +160,23 @@ def geodesic_knn_join(
         raise ValueError(f"k must be >= 1, got {k}")
     if id_col == query_id_col:
         raise ValueError("id_col and query_id_col must differ (self-exclusion)")
+    if initial_radius_km == "auto":
+        # density heuristic: n uniform points on the sphere -> the
+        # expected kth-NN angular radius satisfies
+        # n * (1 - cos t) / 2 ~= k, i.e. t = arccos(1 - 2k/n).  Start
+        # ~1.5x past it so the typical query resolves in round ONE and
+        # only sparse regions pay a second round; each extra round is a
+        # full driver-synced join pass, so overshooting slightly is far
+        # cheaper than undershooting.  One count() job on the data side
+        # (at scale: table statistics give this for free).
+        n_data = max(data.count(), 1)
+        frac = min(2.0 * k / n_data, 2.0)
+        t = math.acos(max(1.0 - frac, -1.0))
+        initial_radius_km = max(1.5 * t * earth_radius_km, 1.0)
+    elif isinstance(initial_radius_km, str):
+        raise ValueError(
+            f"initial_radius_km must be a number or 'auto': {initial_radius_km!r}"
+        )
     qcols = queries.select(
         F.col(query_id_col), F.col(lon).alias("__qlon"), F.col(lat).alias("__qlat")
     )

@@ -157,3 +157,34 @@ class TestGeodesicKnn:
         with pytest.raises(ValueError):
             # same id column name on both sides is ambiguous
             geodesic_knn_join(df, df, k=1, id_col="point_id", query_id_col="point_id")
+
+    def test_auto_radius_matches_brute_force(self, spark):
+        from cuspatial_spark.plans import geodesic_knn_join
+
+        rng = np.random.default_rng(9)
+        nq, nd, k = 80, 30, 4
+        q_lon = rng.uniform(-180, 180, nq)
+        q_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, nq)))
+        d_lon = rng.uniform(-180, 180, nd)
+        d_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, nd)))
+        queries = _frame(spark, np.arange(nq), q_lon, q_lat, "query_id")
+        data = _frame(spark, np.arange(nd) + 1000, d_lon, d_lat, "poi_id")
+        got = (
+            geodesic_knn_join(
+                data, queries, k=k, id_col="poi_id", query_id_col="query_id",
+                initial_radius_km="auto",
+            )
+            .orderBy("query_id", "rank")
+            .toPandas()
+        )
+        d = _hav_np(d_lon[None, :], d_lat[None, :], q_lon[:, None], q_lat[:, None])
+        order = np.lexsort(((np.arange(nd) + 1000)[None, :].repeat(nq, 0), d), axis=1)
+        expect = (order[:, :k] + 1000)
+        np.testing.assert_array_equal(
+            got.neighbor_id.to_numpy().reshape(nq, k), expect
+        )
+        with pytest.raises(ValueError):
+            geodesic_knn_join(
+                data, queries, k=k, id_col="poi_id", query_id_col="query_id",
+                initial_radius_km="bogus",
+            )

@@ -1345,15 +1345,38 @@ def q_trajectory_stats(spark, sf_dir):
     """Consolidates trajectory_bboxes + trajectory_speeds (driver
     50-cap) via the fused trajectory_summary operator: bbox + distance
     + speed in ONE object-id shuffle (the reference-parity pair of
-    operators joined costs two scans and three shuffles)."""
-    from cuspatial_spark.operators import trajectory_summary
+    operators joined costs two scans and three shuffles).  Round-5e
+    folds in the AS-OF JOIN (operators/asof.py): each user's last fix
+    is matched to the most recent row of a per-user daily beacon grid
+    (union-and-carry window, one key shuffle); the oracle replays it
+    with DuckDB's native ASOF LEFT JOIN."""
+    from cuspatial_spark.operators import asof_join, trajectory_summary
 
     pts = _points_unspread(spark, sf_dir).withColumnRenamed("ts", "timestamp")
     out = trajectory_summary(pts, object_id="user_id")
-    return out.select(
+    last_ts = pts.groupBy("user_id").agg(F.max("timestamp").alias("last_ts"))
+    beacons = last_ts.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("j")
+    ).select(
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.col("j") * 86400
+            + F.pmod(F.col("user_id"), F.lit(24)) * 3600
+        ).alias("bts"),
+        (F.col("j") * 10 + F.pmod(F.col("user_id"), F.lit(5)))
+        .cast("double")
+        .alias("beacon_v"),
+    )
+    enr = asof_join(
+        last_ts, beacons, on="user_id", left_time="last_ts", right_time="bts"
+    )
+    return out.join(enr, "user_id").select(
         "user_id", "minx", "miny", "maxx", "maxy",
         F.round("distance", 5).alias("distance"),
         F.round("speed", 5).alias("speed"),
+        F.col("right_bts").cast("long").alias("beacon_ts"),
+        F.col("right_beacon_v").alias("beacon_v"),
     )
 
 
@@ -2497,9 +2520,27 @@ def oracle_sql() -> dict[str, str]:
                            THEN COALESCE(sum(step), 0) * 1000.0 / (max(tsec) - min(tsec))
                            ELSE 0.0 END, 5) AS speed
               FROM stepped GROUP BY user_id
+            ),
+            -- as-of enrichment replay (operators/asof.py): per-user
+            -- daily beacon grid, DuckDB's native ASOF LEFT JOIN
+            lastt AS (SELECT user_id, max(ts) AS last_ts FROM pts GROUP BY user_id),
+            beacons AS (
+              SELECT user_id,
+                     make_timestamp((1704067200 + u.j * 86400
+                                     + (user_id % 24) * 3600) * 1000000) AS bts,
+                     CAST(u.j * 10 + user_id % 5 AS DOUBLE) AS beacon_v
+              FROM lastt, UNNEST(range(0, 30)) AS u(j)
+            ),
+            enr AS (
+              SELECT l.user_id,
+                     CAST(epoch(b.bts) AS BIGINT) AS beacon_ts,
+                     b.beacon_v
+              FROM lastt l ASOF LEFT JOIN beacons b
+                ON l.user_id = b.user_id AND l.last_ts >= b.bts
             )
-            SELECT boxes.*, speeds.distance, speeds.speed
-            FROM boxes JOIN speeds USING (user_id)
+            SELECT boxes.*, speeds.distance, speeds.speed,
+                   enr.beacon_ts, enr.beacon_v
+            FROM boxes JOIN speeds USING (user_id) JOIN enr USING (user_id)
         """,
         "hausdorff": f"""
             WITH {pts},

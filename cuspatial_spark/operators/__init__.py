@@ -24,6 +24,7 @@ from .trajectory import (  # noqa: F401
     trajectory_summary,
 )
 from . import binpreds, pairwise  # noqa: F401
+from .asof import asof_join  # noqa: F401
 from .dispatch import distance  # noqa: F401
 from .indexing import quadtree_on_points_global  # noqa: F401
 from .intersection import (  # noqa: F401

@@ -25,6 +25,7 @@ from .trajectory import (  # noqa: F401
 )
 from . import binpreds, pairwise  # noqa: F401
 from .asof import asof_join  # noqa: F401
+from .interval import interval_join  # noqa: F401
 from .dispatch import distance  # noqa: F401
 from .indexing import quadtree_on_points_global  # noqa: F401
 from .intersection import (  # noqa: F401

@@ -150,3 +150,36 @@ class TestPipelineOpPlans:
         assert "WindowGroupLimit" in plan
         # exactly one hash-partition exchange: the per-query window
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_asof_join_single_key_shuffle_no_python(self, spark):
+        """As-of join: the union-and-carry plan pays exactly one
+        hash-partition exchange (the key window) — no range-join
+        cartesian/nested-loop, no Python stage."""
+        from cuspatial_spark.operators import asof_join
+
+        l = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2], "t": [5.0, 6.0], "ev": ["a", "b"]})
+        )
+        r = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2], "t": [4.0, 9.0], "v": [1.0, 2.0]})
+        )
+        plan = _plan(asof_join(l, r, on="k", left_time="t", right_time="t"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "Python" not in plan and "MapInPandas" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_decontam_broadcast_semi_join_no_corpus_shuffle(self, spark):
+        """Decontamination: the corpus side reaches the broadcast
+        semi-join without an Exchange; the only hash shuffles are the
+        hit-count groupBy and the totals join."""
+        from cuspatial_spark.textops.decontam import decontaminate
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "c d e f"]})
+        )
+        ev = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["c d e"]}))
+        plan = _plan(decontaminate(docs, ev, n=2))
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan

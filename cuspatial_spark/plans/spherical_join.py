@@ -124,6 +124,70 @@ def haversine_radius_join(
     )
 
 
+def _dense_knn(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lon: str,
+    lat: str,
+    id_col: str,
+    query_id_col: str,
+    earth_radius_km: float,
+) -> DataFrame:
+    """Exact kNN for a small data side: the data layer is aggregated
+    into ONE array-of-structs row, broadcast, and each query row
+    sorts its (distance, id) candidates locally.  Identical output to
+    the progressive rounds: same haversine expression, same
+    (distance_km, id) tie ordering, same self-exclusion, same
+    starved-query behavior (fewer than k neighbors -> ranks 1..m)."""
+    pois = data.groupBy().agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.col(lon).cast("double").alias("lon"),
+                F.col(lat).cast("double").alias("lat"),
+            )
+        ).alias("__pois")
+    )
+    cand = F.filter(
+        F.col("__pois"), lambda p: p["id"] != F.col(query_id_col)
+    )
+    scored = F.transform(
+        cand,
+        lambda p: F.struct(
+            haversine_expr(
+                p["lon"], p["lat"], F.col("__qlon"), F.col("__qlat"),
+                earth_radius_km,
+            ).alias("distance_km"),
+            p["id"].alias("neighbor_id"),
+        ),
+    )
+    # drop null distances (null coords on the data side never join in
+    # the progressive path's radius filter either); struct order
+    # (distance_km, neighbor_id) makes array_sort reproduce the
+    # row_number orderBy("distance_km", id_col) tie-break exactly
+    topk = F.slice(
+        F.array_sort(F.filter(scored, lambda s: s["distance_km"].isNotNull())),
+        1,
+        k,
+    )
+    return (
+        queries.select(
+            F.col(query_id_col),
+            F.col(lon).alias("__qlon"),
+            F.col(lat).alias("__qlat"),
+        )
+        .join(F.broadcast(pois))
+        .select(query_id_col, F.posexplode(topk).alias("__pos", "__s"))
+        .select(
+            query_id_col,
+            F.col("__s.neighbor_id").alias("neighbor_id"),
+            F.col("__s.distance_km").alias("distance_km"),
+            (F.col("__pos") + 1).alias("rank"),
+        )
+    )
+
+
 def geodesic_knn_join(
     data: DataFrame,
     queries: DataFrame,
@@ -135,6 +199,7 @@ def geodesic_knn_join(
     initial_radius_km: float | str = 100.0,
     max_rounds: int = 8,
     earth_radius_km: float = EARTH_RADIUS_KM,
+    dense_threshold: int = 1024,
 ) -> DataFrame:
     """(query_id, neighbor_id, distance_km, rank) for the k nearest
     data points to each query on the sphere — exact great-circle kNN
@@ -160,6 +225,27 @@ def geodesic_knn_join(
         raise ValueError(f"k must be >= 1, got {k}")
     if id_col == query_id_col:
         raise ValueError("id_col and query_id_col must differ (self-exclusion)")
+    if isinstance(initial_radius_km, str) and initial_radius_km != "auto":
+        raise ValueError(
+            f"initial_radius_km must be a number or 'auto': {initial_radius_km!r}"
+        )
+    n_data = None
+    if dense_threshold > 0:
+        # small data side -> dense path: ZERO shuffles, no rounds.  The
+        # whole data layer collapses to one collect_list row that
+        # broadcasts into a nested-loop join with exactly one build row,
+        # and each query computes its top-k row-locally (array_sort over
+        # (distance, id) structs == the progressive path's
+        # row_number ordering).  The progressive path instead pays, per
+        # round, a 27x fan-out broadcast, a full candidate-pair shuffle
+        # through two window functions, a localCheckpoint and a
+        # driver-synced count — all to produce the same exact kNN.
+        n_data = max(data.count(), 1)
+        if n_data <= dense_threshold:
+            return _dense_knn(
+                data, queries, k, lon, lat, id_col, query_id_col,
+                earth_radius_km,
+            )
     if initial_radius_km == "auto":
         # density heuristic: n uniform points on the sphere -> the
         # expected kth-NN angular radius satisfies
@@ -169,7 +255,8 @@ def geodesic_knn_join(
         # full driver-synced join pass, so overshooting slightly is far
         # cheaper than undershooting.  One count() job on the data side
         # (at scale: table statistics give this for free).
-        n_data = max(data.count(), 1)
+        if n_data is None:
+            n_data = max(data.count(), 1)
         frac = min(2.0 * k / n_data, 2.0)
         t = math.acos(max(1.0 - frac, -1.0))
         initial_radius_km = max(1.5 * t * earth_radius_km, 1.0)

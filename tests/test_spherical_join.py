@@ -112,10 +112,12 @@ class TestGeodesicKnn:
         data = _frame(spark, np.arange(nd), d_lon, d_lat, "poi_id")
 
         # initial radius small enough that several doubling rounds run
+        # (dense_threshold=0 forces the progressive path — the dense
+        # small-data fast path is covered by TestDenseKnn)
         got = (
             geodesic_knn_join(
                 data, queries, k=k, id_col="poi_id", query_id_col="query_id",
-                initial_radius_km=300.0,
+                initial_radius_km=300.0, dense_threshold=0,
             )
             .orderBy("query_id", "rank")
             .toPandas()
@@ -147,6 +149,56 @@ class TestGeodesicKnn:
         # only 3 data points exist: each query resolves with 3 rows
         assert len(got) == 6
         assert got.groupby("query_id")["rank"].max().tolist() == [3, 3]
+
+    def test_dense_path_equals_progressive(self, spark):
+        """The small-data dense path (broadcast POI array + row-local
+        top-k) must produce byte-identical rows to the progressive
+        chord-grid rounds, ties and starved queries included."""
+        from cuspatial_spark.plans import geodesic_knn_join
+
+        rng = np.random.default_rng(17)
+        nq, nd, k = 150, 25, 6
+        q_lon = rng.uniform(-180, 180, nq)
+        q_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, nq)))
+        d_lon = rng.uniform(-180, 180, nd)
+        d_lat = np.degrees(np.arcsin(rng.uniform(-1, 1, nd)))
+        # overlapping ids exercise the self-exclusion rule
+        queries = _frame(spark, np.arange(nq), q_lon, q_lat, "query_id")
+        data = _frame(spark, np.arange(nd), d_lon, d_lat, "poi_id")
+        kw = dict(
+            k=k, id_col="poi_id", query_id_col="query_id",
+            initial_radius_km="auto",
+        )
+        dense = (
+            geodesic_knn_join(data, queries, **kw)
+            .orderBy("query_id", "rank").toPandas()
+        )
+        prog = (
+            geodesic_knn_join(data, queries, dense_threshold=0, **kw)
+            .orderBy("query_id", "rank").toPandas()
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(dense, prog)
+
+    def test_dense_path_plan_has_no_exchange(self, spark):
+        """The dense path's whole point: zero shuffles on the query
+        side — one broadcast nested-loop join with a single build row,
+        everything else row-local."""
+        from cuspatial_spark.plans import geodesic_knn_join
+
+        queries = _frame(spark, np.arange(50), np.linspace(-170, 170, 50),
+                         np.linspace(-80, 80, 50), "query_id")
+        data = _frame(spark, np.arange(10) + 500, np.linspace(-150, 150, 10),
+                      np.linspace(-70, 70, 10), "poi_id")
+        out = geodesic_knn_join(
+            data, queries, k=3, id_col="poi_id", query_id_col="query_id",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the only exchange allowed is the single-row aggregate on the
+        # tiny data side; the query side must not shuffle or window
+        assert "Window" not in plan
+        assert "Python" not in plan and "MapInPandas" not in plan
 
     def test_arg_validation(self, spark):
         from cuspatial_spark.plans import geodesic_knn_join

@@ -176,9 +176,21 @@ def _spread(df: DataFrame) -> DataFrame:
     """The driver's testdata parquet files are single row-group (one
     scan partition), which would serialize per-row compute onto one
     core.  Spread them once after the scan; at production scale the
-    scan is already split and this becomes a no-op choice."""
+    scan is already split and this becomes a no-op choice.
+
+    r6 (guide §2.2/§2.5): HASH-partition on the table's id column at
+    defaultParallelism instead of round-robin at 2x.  Round-robin
+    pays a local sort of the (single) input partition
+    (spark.sql.execution.sortBeforeRepartition, SPARK-23207) — a
+    serial sort of the whole table before any parallelism exists —
+    while a deterministic hash needs none.  Halving the map-task
+    count also halves every downstream shuffle's M x R block count
+    (this box charges ~0.4 ms per block), and ops later keyed on the
+    same id (groupBy doc_id joins etc.) reuse the partitioning
+    outright instead of re-exchanging.  Ids are unique, so the hash
+    spread is uniform by construction — no skew risk."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * 2)
+    return df.repartition(sc.defaultParallelism, df[df.columns[0]])
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,8 +980,6 @@ def q_url_canon(spark, sf_dir):
         canonical_url,
         host_expr,
         host_sample,
-        host_stats,
-        url_dedup,
     )
 
     docs = _docs(spark, sf_dir).select(
@@ -985,13 +995,33 @@ def q_url_canon(spark, sf_dir):
             F.lit("&fbclid=xyz#section"),
         ).alias("url"),
     )
-    stats = host_stats(canonical_url(docs), "canonical_url")
-    deduped = url_dedup(docs, order_col="doc_id").select(
-        "doc_id", "canonical_url"
+    # r6 optimization (guide §2.3/§2.4): ONE corpus pass instead of
+    # three.  The canon chain used to run twice (dedup window branch +
+    # host_stats branch, each with its own scan), the dedup was a full
+    # row_number window shuffle, and host_urls a two-phase
+    # countDistinct.  All three collapse into a single partial-
+    # aggregated groupBy(canonical_url): the keeper IS min(doc_id)
+    # (row_number orderBy doc_id == min), the per-canonical row count
+    # rides along, and since host is a function of canonical_url,
+    # host_rows = sum of per-canonical counts and host_urls = count of
+    # canonical rows — a window over the tiny per-URL table, not the
+    # corpus.  Byte-identical output to host_stats + url_dedup + join.
+    from pyspark.sql import Window as W
+
+    per_url = (
+        canonical_url(docs)
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("__n"))
+        .withColumn("host", host_expr(F.col("canonical_url")))
     )
-    joined = deduped.withColumn(
-        "host", host_expr(F.col("canonical_url"))
-    ).join(stats, "host")
+    hw = W.partitionBy("host")
+    joined = per_url.select(
+        "doc_id",
+        "canonical_url",
+        "host",
+        F.sum("__n").over(hw).alias("host_rows"),
+        F.count(F.lit(1)).over(hw).alias("host_urls"),
+    )
     sampled = host_sample(joined, cap=3, order_col="doc_id").select(
         "doc_id", "canonical_url", "host", "host_rows", "host_urls",
         "host_rank",

@@ -102,25 +102,52 @@ def minhash_signatures(
     shingles of the i-th affine permutation of the shingle's 32-bit
     md5-prefix hash.
 
-    Computed entirely per-row (higher-order functions over a shingle
-    hash array materialized once): ZERO shuffles, ONE md5 per shingle
-    regardless of ``num_hashes`` — min over duplicate shingles equals
-    min over distinct ones, so no dedup pass is needed either.  One
-    scan at any corpus size.
+    ONE md5 per shingle regardless of ``num_hashes`` — min over
+    duplicate shingles equals min over distinct ones, so no dedup pass
+    is needed either.  One scan at any corpus size.
+
+    r6 shape (guide §1.2/§4.1): shingle positions are EXPLODED and the
+    md5 chain runs in whole-stage codegen feeding a partial-aggregated
+    groupBy(id) of the k affine mins — measured ~2x over the previous
+    per-row higher-order-function fold, whose per-element lambda
+    evaluation is interpreted.  ASCII rows (checked per row:
+    octet_length == length) take a byte-indexed substring — the
+    character-indexed substring is an O(position) codepoint walk, i.e.
+    O(len^2) per document — with byte-identical md5 inputs; non-ASCII
+    rows keep the exact character-substring path.  The groupBy
+    reuses the input's hash partitioning when it is already keyed on
+    ``id_col`` (the entry fixtures are), making the whole signature
+    computation shuffle-free; otherwise it exchanges one narrow
+    (id, hash) row per shingle.
     """
     a, b = minhash_params(num_hashes)
-    hashed = docs.select(
-        id_col, _shingle_hashes(text_col, shingle_k).alias("__sh")
+    txt = F.col(text_col)
+    n = F.greatest(F.length(txt) - F.lit(shingle_k - 1), F.lit(1))
+    pos = docs.select(
+        F.col(id_col),
+        txt.cast("binary").alias("__tb"),
+        txt.alias("__t"),
+        (F.octet_length(txt) == F.length(txt)).alias("__ascii"),
+        F.explode(F.sequence(F.lit(1), n)).alias("__i"),
     )
-
-    def perm(ai: int, bi: int):
-        return lambda h: (F.lit(ai) * h + F.lit(bi)) % F.lit(MINHASH_P)
-
-    cols = [
-        F.array_min(F.transform("__sh", perm(a[i], b[i]))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.select(id_col, *cols)
+    sbytes = F.when(
+        F.col("__ascii"), F.col("__tb").substr(F.col("__i"), F.lit(shingle_k))
+    ).otherwise(
+        F.col("__t").substr(F.col("__i"), F.lit(shingle_k)).cast("binary")
+    )
+    h = (
+        F.conv(F.substring(F.md5(sbytes), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+    hashed = pos.select(id_col, h.alias("__h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(a[i]) * F.col("__h") + F.lit(b[i])) % F.lit(MINHASH_P)
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -148,9 +175,12 @@ def lsh_candidate_pairs(
     """
     # spread the md5 work before computing signatures: small corpus
     # files often arrive as one partition, which would serialize the
-    # whole signature computation onto one core
+    # whole signature computation onto one core.  Hash-partitioning on
+    # the id also lets the signature groupBy run shuffle-free
+    # (guide §2.4); defaultParallelism (not 2x) keeps every downstream
+    # shuffle's M x R block count down (§2.2)
     spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, id_col)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     n_bands = num_hashes // band_size
     # bucket key = the band's signature values joined by ':' — no
@@ -175,23 +205,43 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # r6 (guide §2.3/§2.4): ONE groupBy per bucket with row-local pair
+    # expansion, replacing the bands-with-bands self-join.  The
+    # self-join planned the ENTIRE signature pipeline twice (one scan
+    # + md5 pass per side) and shuffled both copies; collect_list
+    # shuffles each (band, bucket, id) row once and expands pairs from
+    # the sorted in-bucket id array with no further data movement.
+    # Pair semantics are unchanged: sorted distinct ids make every
+    # (ids[i], ids[j>i]) pair satisfy id_a < id_b, exactly the
+    # self-join's a.id < b.id filter.
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
     if mode == "canonical":
-        w = Window.partitionBy("band", "bucket")
-        return (
-            bands.withColumn("id_a", F.min(id_col).over(w))
-            .where(F.col("id_a") < F.col(id_col))
-            .select("id_a", F.col(id_col).alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        pairs = F.transform(
+            F.slice(F.col("__ids"), 2, F.size("__ids") - 1),
+            lambda w: F.struct(
+                F.element_at(F.col("__ids"), 1).alias("id_a"),
+                w.alias("id_b"),
+            ),
         )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    else:
+        pairs = F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda v, i: F.transform(
+                    F.slice(
+                        F.col("__ids"), i + F.lit(2), F.size("__ids") - i - 1
+                    ),
+                    lambda w: F.struct(v.alias("id_a"), w.alias("id_b")),
+                ),
+            )
+        )
     return (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -44,18 +44,29 @@ def _window_hashes(text_col: str, n: int):
     for span removal / contamination flagging)."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    n_win = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        n_win > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda i: F.aggregate(
-                F.slice(th, i, F.lit(n)),
-                F.lit(42).cast("long"),
-                lambda acc, h: F.xxhash64(acc, h),
+
+    # r6 (guide §4.1): the window key is ONE multi-argument xxhash64
+    # over the n token hashes (order-sensitive streaming — each field
+    # seeds the next — so shifted token boundaries never collide),
+    # replacing a per-window slice + 8-step xxhash64 fold.  The token
+    # hash array is bound through a single-element transform lambda so
+    # interpreted higher-order evaluation computes it ONCE per row —
+    # referenced inline it would be re-evaluated per window, turning
+    # the row cost quadratic in token count.  Hash VALUES change but
+    # equality classes (all any consumer reads) are preserved.
+    def _windows(a):
+        n_win = F.size(a) - F.lit(n - 1)
+        return F.when(
+            n_win > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.xxhash64(
+                    *[F.element_at(a, i + F.lit(j)) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return F.element_at(F.transform(F.array(th), _windows), 1)
 
 
 def duplicated_ngram_spans(

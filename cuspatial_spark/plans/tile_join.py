@@ -384,10 +384,84 @@ def point_to_nearest_linestring_join(
     else:
         radii = [float(expansion_radius)]
 
-    seg_df = _linestring_segments_df(spark, linestrings) if refine == "jvm" else None
+    seg_df = None
     part_offsets, lx, ly, lids = (
         linestrings.part_offsets, linestrings.x, linestrings.y, linestrings.ids,
     )
+
+    if len(radii) == 1 and refine == "jvm":
+        # r6 dense single-round path (guide §2.4): instead of
+        # [points ⋈ exploded (tile, line) table] -> [⋈ segment table]
+        # -> [1-row-per-point groupBy min] — which materializes
+        # |points| x lines-per-tile candidate rows and shuffles one
+        # row per point for the min — broadcast ONE row per tile
+        # carrying the covering lines' segments, and take the min
+        # row-locally with array_min over (distance, id) structs (the
+        # exact ordering the groupBy's min(struct) used).  Same
+        # reachability (tiles with no line are absent -> inner join
+        # drops the point), same fold arithmetic, same tie-break.
+        # Bounded by the same 200k broadcast-segment limit as the
+        # segment table; falls through to the join shape when the
+        # per-tile duplication would exceed it.
+        po = np.asarray(part_offsets)
+        seg_counts = np.maximum(po[1:] - po[:-1] - 1, 0)
+        minx, miny, maxx, maxy = linestrings.bounding_boxes(radii[0])
+        bbox_idx, cover_tiles = tiles_covering_bboxes(
+            minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
+        )
+        if seg_counts[bbox_idx].sum() <= 200_000:
+            seg_lists = [
+                [
+                    (float(lx[i]), float(ly[i]), float(lx[i + 1]), float(ly[i + 1]))
+                    for i in range(int(po[li]), int(po[li + 1]) - 1)
+                ]
+                for li in range(len(linestrings))
+            ]
+            by_tile: dict[int, list] = {}
+            for li, tl in zip(bbox_idx, cover_tiles):
+                by_tile.setdefault(int(tl), []).append(
+                    (int(lids[li]), seg_lists[li])
+                )
+            tile_lines = spark.createDataFrame(
+                [(t, ls) for t, ls in by_tile.items()],
+                schema=(
+                    "tile long, __lines array<struct<"
+                    f"linestring_id:bigint,__segs:{SEGS_SCHEMA}>>"
+                ),
+            )
+            tiled = assign_tiles(
+                points, x, y, x_min, x_max, y_min, y_max, scale, max_depth,
+                tile_level,
+            )
+            dmax = float(np.finfo(np.float64).max)
+            scored = F.transform(
+                F.col("__lines"),
+                lambda l: F.struct(
+                    F.sqrt(
+                        F.aggregate(
+                            l["__segs"],
+                            F.lit(dmax),
+                            lambda acc, s: F.least(
+                                acc,
+                                _point_segment_d2_expr(F.col(x), F.col(y), s),
+                            ),
+                        )
+                    ).alias("distance"),
+                    l["linestring_id"].alias("linestring_id"),
+                ),
+            )
+            return (
+                tiled.join(F.broadcast(tile_lines), on="tile")
+                .withColumn("__m", F.array_min(scored))
+                .select(
+                    *keep,
+                    F.col("__m.linestring_id").alias("linestring_id"),
+                    F.col("__m.distance").alias("distance"),
+                )
+            )
+
+    if refine == "jvm":
+        seg_df = _linestring_segments_df(spark, linestrings)
 
     def _score_round(pts_df: DataFrame, radius: float, carry_unmatched: bool) -> DataFrame:
         """Per-point min (distance, linestring_id) over the candidates

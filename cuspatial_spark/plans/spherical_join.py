@@ -140,25 +140,41 @@ def _dense_knn(
     the progressive rounds: same haversine expression, same
     (distance_km, id) tie ordering, same self-exclusion, same
     starved-query behavior (fewer than k neighbors -> ranks 1..m)."""
+    # per-POI trig is precomputed INSIDE the aggregate (by the same
+    # Spark expressions the per-candidate formula would run, so values
+    # are bit-identical), and per-query trig is hoisted to row columns:
+    # each of the n_data candidate evaluations then costs 2 sin + 1
+    # asin instead of 4 radians + 2 sin + 2 cos + 1 asin
     pois = data.groupBy().agg(
         F.collect_list(
             F.struct(
                 F.col(id_col).alias("id"),
-                F.col(lon).cast("double").alias("lon"),
-                F.col(lat).cast("double").alias("lat"),
+                F.radians(F.col(lon).cast("double")).alias("rlon"),
+                F.radians(F.col(lat).cast("double")).alias("rlat"),
+                F.cos(F.radians(F.col(lat).cast("double"))).alias("coslat"),
             )
         ).alias("__pois")
     )
     cand = F.filter(
         F.col("__pois"), lambda p: p["id"] != F.col(query_id_col)
     )
+
+    def _dist(p):
+        # identical op order to functions.expressions.haversine_expr
+        # with ax/ay = POI radians, bx/by = query radians
+        x = (F.col("__qrlon") - p["rlon"]) / 2
+        y = (F.col("__qrlat") - p["rlat"]) / 2
+        sinysqrd = F.sin(y) * F.sin(y)
+        sinxsqrd = F.sin(x) * F.sin(x)
+        scale = p["coslat"] * F.col("__qcoslat")
+        return F.lit(2.0 * earth_radius_km) * F.asin(
+            F.sqrt(sinysqrd + sinxsqrd * scale)
+        )
+
     scored = F.transform(
         cand,
         lambda p: F.struct(
-            haversine_expr(
-                p["lon"], p["lat"], F.col("__qlon"), F.col("__qlat"),
-                earth_radius_km,
-            ).alias("distance_km"),
+            _dist(p).alias("distance_km"),
             p["id"].alias("neighbor_id"),
         ),
     )
@@ -171,11 +187,13 @@ def _dense_knn(
         1,
         k,
     )
+    qlat = F.col(lat).cast("double")
     return (
         queries.select(
             F.col(query_id_col),
-            F.col(lon).alias("__qlon"),
-            F.col(lat).alias("__qlat"),
+            F.radians(F.col(lon).cast("double")).alias("__qrlon"),
+            F.radians(qlat).alias("__qrlat"),
+            F.cos(F.radians(qlat)).alias("__qcoslat"),
         )
         .join(F.broadcast(pois))
         .select(query_id_col, F.posexplode(topk).alias("__pos", "__s"))

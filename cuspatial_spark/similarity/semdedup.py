@@ -69,10 +69,12 @@ _BLOCK_CELLS = 1 << 19
 
 
 def _sweep_group(
-    E: np.ndarray, ids: np.ndarray, threshold: float
+    E: np.ndarray, ids: np.ndarray, threshold: float, out_start: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-cluster sweep: for each member j (ascending id), the max
-    cosine to members 0..j-1, and the keep flag.
+    cosine to members 0..j-1, and the keep flag.  ``out_start`` skips
+    the sweep for rows before it (they are prefix context only — the
+    block-parallel path); their nn stays NaN.
 
     The dot/norm accumulation is DIM-MAJOR and sequential —
     ``acc += E[:,k] * E[:,k].T`` for k = 0..dim-1 — which associates
@@ -105,7 +107,7 @@ def _sweep_group(
     nn = np.full(m, np.nan)
     block = max(1, _BLOCK_CELLS // max(m, 1))
     buf_s = np.empty((min(block, m), max(m - 1, 1)))
-    for r0 in range(1, m, block):
+    for r0 in range(max(int(out_start), 1), m, block):
         r1 = min(r0 + block, m)
         width = r1 - 1  # row j only needs columns < j
         S = buf_s[: r1 - r0, :width]
@@ -138,6 +140,7 @@ def semantic_dedup(
     threshold: float = 0.85,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sweep_block_rows: int = 8192,
 ) -> DataFrame:
     """Cluster-bounded semantic near-dup pruning.
 
@@ -150,6 +153,17 @@ def semantic_dedup(
     ``centroids`` (k x dim ndarray) pins the quantizer for
     reproducible runs/oracles; when omitted a mini k-means is trained
     on a cross-partition sample (`ann.train_centroids`).
+
+    r6 skew fix (guide §2.5): a hot cluster used to serialize its
+    whole O(m_c^2) sweep onto one task (the k >> shuffle-partitions
+    caveat).  Each cluster's sweep now splits into row blocks of
+    ``sweep_block_rows`` members: a member is shipped to its own
+    block AND every later block of its cluster (prefix replication,
+    O(m_c^2 / block) extra rows), so block b sweeps rows
+    [b*s, (b+1)*s) against the full prefix in parallel.  The
+    screen-then-exact kernel makes the output invariant to blocking
+    (the exact pass recomputes candidates in oracle order), so
+    results are bit-identical to the single-task sweep.
     """
     if centroids is None:
         centroids = train_centroids(vectors, n_centroids, vec_col=vec_col)
@@ -157,25 +171,53 @@ def semantic_dedup(
         vectors.select(id_col, vec_col), centroids, vec_col, "cluster"
     )
     thr = float(threshold)
+    s = max(int(sweep_block_rows), 1)
 
-    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cluster")
+    wn = wc.orderBy(id_col)
+    rep = (
+        assigned.withColumn("__pos", F.row_number().over(wn) - 1)
+        .withColumn(
+            "__nb",
+            F.ceil(F.count(F.lit(1)).over(wc) / F.lit(s)).cast("int"),
+        )
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__pos") / F.lit(s)).cast("int"),
+                    F.col("__nb") - 1,
+                )
+            ),
+        )
+    )
+
+    def sweep(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(key[1])
         pdf = pdf.sort_values(id_col, kind="stable")
         E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nn, kept = _sweep_group(E, pdf[id_col].to_numpy(), thr)
+        out_start = min(b * s, len(pdf))
+        nn, kept = _sweep_group(
+            E, pdf[id_col].to_numpy(), thr, out_start=out_start
+        )
+        nn, kept = nn[out_start:], kept[out_start:]
+        out = pdf.iloc[out_start:]
         # NaN marks "no smaller-id member" — surface it as SQL NULL
         # (a raw float64 NaN would stay NaN through Arrow)
         nn_s = pd.array(nn, dtype="Float64")
         nn_s[np.isnan(nn)] = pd.NA
         return pd.DataFrame(
             {
-                id_col: pdf[id_col].to_numpy(),
-                "cluster": pdf["cluster"].to_numpy(),
+                id_col: out[id_col].to_numpy(),
+                "cluster": out["cluster"].to_numpy(),
                 "nn_smaller_sim": nn_s,
                 "is_kept": kept,
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
+    return rep.groupBy("cluster", "__b").applyInPandas(
         sweep,
         schema=(
             f"{id_col} long, cluster long, "

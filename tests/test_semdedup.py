@@ -112,3 +112,28 @@ def test_plan_shape(spark, emb_df):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_block_parallel_sweep_equals_single_task(spark, emb_df):
+    """The prefix-replicated block sweep (skew fix) must be
+    bit-identical to the single-task-per-cluster sweep for every
+    block size, including blocks smaller than the clusters."""
+    import pandas as pd
+
+    cts = np.array([[1.0] * DIM, [-1.0] * DIM, [0.5] * DIM])
+    base = (
+        semantic_dedup(
+            emb_df, centroids=cts, threshold=THRESH,
+            sweep_block_rows=10**9,
+        )
+        .orderBy("vec_id").toPandas()
+    )
+    for s in (1, 7, 16):
+        got = (
+            semantic_dedup(
+                emb_df, centroids=cts, threshold=THRESH,
+                sweep_block_rows=s,
+            )
+            .orderBy("vec_id").toPandas()
+        )
+        pd.testing.assert_frame_equal(got, base)

@@ -846,17 +846,61 @@ def q_multipart_distance(spark, sf_dir):
     """Point -> multilinestring and point -> multipolygon distances:
     the multi-part pairwise family (geometry_offset level expanded to
     parts by a broadcast join, min-reduced per pair)."""
-    from cuspatial_spark.operators.distance import pairwise_point_linestring_distance
-    from cuspatial_spark.operators.pairwise import pairwise_point_polygon_distance
+    # r6 (guide §4.1): ONE Arrow boundary crossing computing both
+    # distances per batch, instead of chaining the two operators'
+    # mapInPandas stages (which shipped every row JVM->Python->JVM
+    # twice).  Same kernels, same part expansion, same min-reduce —
+    # values identical (oracle-checked).
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from cuspatial_spark.kernels import geom_distance as gk
+    from cuspatial_spark.kernels.segment import point_linestring_distance_pairs
+    from cuspatial_spark.operators.pairwise import (
+        _min_by_row,
+        _part_pairs,
+        _split_parts,
+    )
 
     pts = _points(spark, sf_dir).select(
         "event_id", "x", "y",
         (F.col("event_id") % 4).alias("linestring_index"),
         ((F.col("event_id") + 1) % 4).alias("polygon_index"),
     )
-    d1 = pairwise_point_linestring_distance(pts, _mls(), result="mls_dist")
-    d2 = pairwise_point_polygon_distance(d1, _mpoly(), result="mpoly_dist")
-    return d2.select("event_id", "mls_dist", "mpoly_dist")
+    mls, go_l = _split_parts(_mls())
+    lo, lx, ly = mls.part_offsets, mls.x, mls.y
+    mpoly, go_p = _split_parts(_mpoly())
+    po, ro, px, py = mpoly.part_offsets, mpoly.ring_offsets, mpoly.x, mpoly.y
+    schema = StructType(
+        [pts.schema["event_id"]]
+        + [
+            StructField("mls_dist", DoubleType(), False),
+            StructField("mpoly_dist", DoubleType(), True),
+        ]
+    )
+
+    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            li = pdf["linestring_index"].to_numpy(dtype=np.int64)
+            pi = pdf["polygon_index"].to_numpy(dtype=np.int64)
+            row, _, rp = _part_pairs(li, li, None, go_l)
+            dl = point_linestring_distance_pairs(
+                xs[row], ys[row], rp, lo, lx, ly
+            )
+            out = pd.DataFrame({"event_id": pdf["event_id"].to_numpy()})
+            out["mls_dist"] = _min_by_row(len(pdf), row, dl)
+            row, _, rp = _part_pairs(pi, pi, None, go_p)
+            dp = gk.pairwise_point_polygon_distance(
+                xs[row], ys[row], rp, po, ro, px, py
+            )
+            out["mpoly_dist"] = _min_by_row(len(pdf), row, dp)
+            yield out
+
+    return pts.mapInPandas(both, schema=schema)
 
 
 def q_spherical_pip(spark, sf_dir):

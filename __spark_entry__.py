@@ -206,21 +206,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _points_unspread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_points WITHOUT the _spread round-robin — for queries whose
-    first real operator is already a hash shuffle (trajectory window /
-    groupBy): the pre-shuffle work is trivial arithmetic, so paying a
-    full extra Exchange just to parallelize it LOSES ~4x wall clock
-    (measured at sf0.1: trajectory_summary 3.9 s spread vs 0.85 s
-    direct).  At production scale the scan is multi-split anyway and
-    the two forms plan identically."""
+    """_points hash-partitioned by USER — for the trajectory queries,
+    whose every downstream operator (lag window, summary groupBy,
+    last-fix aggregate) is keyed on user_id: the single explicit
+    exchange establishes the partitioning ONCE and every consumer
+    reuses it (guide §2.4), where the previous unspread form ran each
+    consumer's partial aggregation serially over the one-row-group
+    scan (r6 A/B at sf1.0: 0.98 s -> 0.78 s).  A round-robin spread
+    here instead LOSES ~4x (r5 measurement at sf0.1: 3.9 s vs 0.85 s)
+    because none of its exchanges are reusable."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.select(
+    pts = e.select(
         "event_id",
         "user_id",
         "ts",
         ((F.col("event_id") * 2654435761 % 1000003) / 1000003.0 * 8.0).alias("x"),
         ((F.col("event_id") * 40503 % 999983) / 999983.0 * 8.0).alias("y"),
     )
+    return pts.repartition(spark.sparkContext.defaultParallelism, "user_id")
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,19 +113,29 @@ def _polygon_segments_df(spark: SparkSession, polygons: PolygonArrays) -> DataFr
     DATA the plan is constant-size, and the refine expression runs
     identically JVM-side over the joined array column.
     """
-    po, ro = polygons.part_offsets, polygons.ring_offsets
-    px, py = polygons.x, polygons.y
+    po = np.asarray(polygons.part_offsets)
+    ro = np.asarray(polygons.ring_offsets)
+    px = np.asarray(polygons.x, dtype=np.float64)
+    py = np.asarray(polygons.y, dtype=np.float64)
+    # vectorized ring-closing predecessor: vertex i pairs with i-1,
+    # except each ring's first vertex, which pairs with the ring's
+    # last; degenerate (zero-length) segments are masked out
+    n = int(ro[-1]) if len(ro) else 0
+    idx = np.arange(n, dtype=np.int64)
+    prev = idx - 1
+    prev[ro[:-1]] = ro[1:] - 1
+    ax, ay, bx, by = px[idx], py[idx], px[prev], py[prev]
+    keep = (ax != bx) | (ay != by)
     rows = []
     for p in range(len(polygons)):
-        segs = []
-        for r in range(po[p], po[p + 1]):
-            s, e = int(ro[r]), int(ro[r + 1])
-            for i in range(s, e):
-                prev = e - 1 if i == s else i - 1
-                ax, ay, bx, by = px[i], py[i], px[prev], py[prev]
-                if ax == bx and ay == by:  # degenerate (e.g. ring-closing dup)
-                    continue
-                segs.append((float(ax), float(ay), float(bx), float(by)))
+        s, e = int(ro[po[p]]), int(ro[po[p + 1]])
+        m = keep[s:e]
+        segs = list(
+            zip(
+                ax[s:e][m].tolist(), ay[s:e][m].tolist(),
+                bx[s:e][m].tolist(), by[s:e][m].tolist(),
+            )
+        )
         rows.append((int(p), int(polygons.ids[p]), segs))
     return spark.createDataFrame(
         rows, schema=f"__poly_idx long, polygon_id long, __segs {SEGS_SCHEMA}"
@@ -268,13 +278,18 @@ def _linestring_segments_df(
     """Consecutive-vertex segments per linestring as a broadcastable
     DataFrame ``(__line_idx, linestring_id, __segs)`` — data, not
     literal expressions (see _polygon_segments_df)."""
-    po, lx, ly = linestrings.part_offsets, linestrings.x, linestrings.y
+    po = np.asarray(linestrings.part_offsets)
+    lx = np.asarray(linestrings.x, dtype=np.float64)
+    ly = np.asarray(linestrings.y, dtype=np.float64)
     rows = []
     for li in range(len(linestrings)):
-        segs = [
-            (float(lx[i]), float(ly[i]), float(lx[i + 1]), float(ly[i + 1]))
-            for i in range(int(po[li]), int(po[li + 1]) - 1)
-        ]
+        s, e = int(po[li]), int(po[li + 1])
+        segs = list(
+            zip(
+                lx[s : e - 1].tolist(), ly[s : e - 1].tolist(),
+                lx[s + 1 : e].tolist(), ly[s + 1 : e].tolist(),
+            )
+        )
         rows.append((int(li), int(linestrings.ids[li]), segs))
     return spark.createDataFrame(
         rows, schema=f"__line_idx long, linestring_id long, __segs {SEGS_SCHEMA}"
@@ -410,11 +425,17 @@ def point_to_nearest_linestring_join(
             minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
         )
         if seg_counts[bbox_idx].sum() <= 200_000:
+            lxa = np.asarray(lx, dtype=np.float64)
+            lya = np.asarray(ly, dtype=np.float64)
             seg_lists = [
-                [
-                    (float(lx[i]), float(ly[i]), float(lx[i + 1]), float(ly[i + 1]))
-                    for i in range(int(po[li]), int(po[li + 1]) - 1)
-                ]
+                list(
+                    zip(
+                        lxa[int(po[li]) : int(po[li + 1]) - 1].tolist(),
+                        lya[int(po[li]) : int(po[li + 1]) - 1].tolist(),
+                        lxa[int(po[li]) + 1 : int(po[li + 1])].tolist(),
+                        lya[int(po[li]) + 1 : int(po[li + 1])].tolist(),
+                    )
+                )
                 for li in range(len(linestrings))
             ]
             by_tile: dict[int, list] = {}

@@ -118,16 +118,25 @@ class TestPipelineOpPlans:
             assert "Exchange" not in plan, fn.__name__
             assert "Python" not in plan and "MapInPandas" not in plan, fn.__name__
 
-    def test_minhash_zero_shuffle(self, spark):
-        """MinHash signatures: per-row expression chain only."""
+    def test_minhash_zero_shuffle_when_prepartitioned(self, spark):
+        """MinHash signatures: the r6 explode + codegen-md5 + groupBy
+        shape reuses an id-hash partitioning (no Exchange beyond the
+        caller's own repartition); unpartitioned input pays exactly
+        one narrow (id, hash) exchange.  No Python either way."""
         from cuspatial_spark.textops.dedup import minhash_signatures
 
         docs = spark.createDataFrame(
             pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e f", "b c d e f g"]})
         )
-        plan = _plan(minhash_signatures(docs))
-        assert "Exchange" not in plan
+        plan = _plan(minhash_signatures(docs.repartition(4, "doc_id")))
+        # the only exchange is the caller's explicit repartition — the
+        # groupBy itself adds none (no ENSURE_REQUIREMENTS exchange)
+        assert plan.count("Exchange") == 1
+        assert "ENSURE_REQUIREMENTS" not in plan
         assert "Python" not in plan and "MapInPandas" not in plan
+        plan2 = _plan(minhash_signatures(docs))
+        assert plan2.count("Exchange") == 1
+        assert "Python" not in plan2 and "MapInPandas" not in plan2
 
     def test_ivf_topk_single_required_shuffle(self, spark):
         """IVF ANN: broadcast bucket join + WindowGroupLimit pre-prune;
@@ -183,3 +192,66 @@ class TestPipelineOpPlans:
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan and "MapInPandas" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSegmentTableVectorization:
+    """The NumPy-vectorized broadcast segment tables must emit exactly
+    the rows the original per-vertex Python loops produced (VERDICT r5
+    item 7)."""
+
+    def test_polygon_segments_match_loop(self, spark):
+        import numpy as np
+
+        from cuspatial_spark.geometry import PolygonArrays
+        from cuspatial_spark.plans.tile_join import _polygon_segments_df
+
+        # two polygons: a triangle with an explicit ring-closing dup
+        # vertex (degenerate segment must be dropped) and a square
+        polys = PolygonArrays(
+            [0, 1, 2],
+            [0, 4, 8],
+            [0.0, 2.0, 1.0, 0.0, 5.0, 7.0, 7.0, 5.0],
+            [0.0, 0.0, 2.0, 0.0, 5.0, 5.0, 7.0, 7.0],
+        )
+        got = _polygon_segments_df(spark, polys).orderBy("__poly_idx").collect()
+
+        def loop_rows():
+            po, ro = polys.part_offsets, polys.ring_offsets
+            px, py = polys.x, polys.y
+            rows = []
+            for p in range(len(polys)):
+                segs = []
+                for r in range(po[p], po[p + 1]):
+                    s, e = int(ro[r]), int(ro[r + 1])
+                    for i in range(s, e):
+                        prev = e - 1 if i == s else i - 1
+                        ax, ay, bx, by = px[i], py[i], px[prev], py[prev]
+                        if ax == bx and ay == by:
+                            continue
+                        segs.append((float(ax), float(ay), float(bx), float(by)))
+                rows.append((int(p), int(polys.ids[p]), segs))
+            return rows
+
+        expect = loop_rows()
+        assert len(got) == len(expect)
+        for g, (p, pid, segs) in zip(got, expect):
+            assert g["__poly_idx"] == p and g["polygon_id"] == pid
+            assert [tuple(s) for s in g["__segs"]] == segs
+
+    def test_linestring_segments_match_loop(self, spark):
+        from cuspatial_spark.geometry import LinestringArrays
+        from cuspatial_spark.plans.tile_join import _linestring_segments_df
+
+        lines = LinestringArrays(
+            [0, 3, 7],
+            [0.0, 1.0, 2.0, 4.0, 4.5, 5.0, 6.0],
+            [0.0, 1.5, 0.5, 4.0, 4.25, 5.0, 4.0],
+        )
+        got = _linestring_segments_df(spark, lines).orderBy("__line_idx").collect()
+        po, lx, ly = lines.part_offsets, lines.x, lines.y
+        for g, li in zip(got, range(len(lines))):
+            expect = [
+                (float(lx[i]), float(ly[i]), float(lx[i + 1]), float(ly[i + 1]))
+                for i in range(int(po[li]), int(po[li + 1]) - 1)
+            ]
+            assert [tuple(s) for s in g["__segs"]] == expect

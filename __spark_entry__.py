@@ -1141,12 +1141,14 @@ def q_multimodal_decode(spark, sf_dir):
     decodes them with the dependency-free codec (imagecodec.py) and
     emits dims + pixel stats — which the DuckDB oracle re-derives
     straight from the pixel law, so every byte of header parsing,
-    unfiltering and raster layout is hash-checked."""
-    from cuspatial_spark.multimodal import image_features, synth_images
+    unfiltering and raster layout is hash-checked.  r6: the synth and
+    decode stages run fused in ONE Python crossing
+    (synth_image_features) — payload bytes never ship across the JVM
+    boundary; features are row-identical to the chained operators."""
+    from cuspatial_spark.multimodal import synth_image_features
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    imgs = synth_images(docs, id_col="doc_id")
-    feats = image_features(imgs, id_cols=("doc_id",)).select(
+    feats = synth_image_features(docs, id_col="doc_id").select(
         "doc_id",
         "image_format",
         "width",
@@ -1465,12 +1467,13 @@ def q_audio_features(spark, sf_dir):
     them with the dependency-free codec (audiocodec.py) and emits
     rate/duration/amplitude/rms/zero-crossing stats — which the DuckDB
     oracle re-derives straight from the sample law, so header parsing,
-    chunk walking and interleaved frame layout are all hash-checked."""
-    from cuspatial_spark.multimodal import audio_features, synth_audio
+    chunk walking and interleaved frame layout are all hash-checked.
+    r6: synth and decode run fused in ONE Python crossing
+    (synth_audio_features) — row-identical to the chained operators."""
+    from cuspatial_spark.multimodal import synth_audio_features
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    clips = synth_audio(docs, id_col="doc_id")
-    return audio_features(clips, id_cols=("doc_id",)).select(
+    return synth_audio_features(docs, id_col="doc_id").select(
         "doc_id", "sample_rate", "channels", "n_frames", "duration_s",
         "amp_mean", "amp_min", "amp_max", "rms", "zero_crossings",
     )

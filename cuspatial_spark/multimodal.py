@@ -305,6 +305,65 @@ def image_thumbnail(
     return df.mapInPandas(run, schema=schema)
 
 
+def _synth_image_payload(g: int) -> bytes:
+    """The synth_images per-row law: deterministic encoded image for
+    id ``g`` (shared by the fixture generator and the fused
+    synth+decode path so the byte payloads are identical)."""
+    from .imagecodec import encode_bmp, encode_png, encode_pnm
+
+    w, h = 4 + g % 13, 3 + g % 11
+    c = 1 if g % 6 in (0, 3, 4) else 3
+    flat = (g * 31 + np.arange(w * h * c, dtype=np.int64) * 7) % 251
+    px = flat.astype(np.uint8).reshape(h, w, c)
+    v = g % 6
+    if v in (0, 1):
+        return encode_pnm(px)
+    if v in (2, 3):
+        return encode_bmp(px)
+    return encode_png(px)
+
+
+def synth_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """synth_images |> image_features fused into ONE Python boundary
+    crossing (guide §4.1): the encoded payload is produced AND decoded
+    inside the same batch loop, so the bytes never ship
+    JVM->Python->JVM->Python.  Row-for-row identical to running the
+    two operators chained (same payload law, same decoder, same
+    feature emission)."""
+    from .imagecodec import average_hash, decode_image
+
+    src = df.select(F.col(id_col).cast("long").alias(id_col))
+    schema = StructType(
+        [StructField(id_col, LongType(), False)] + list(IMAGE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for g in pdf[id_col]:
+                g = int(g)
+                fmt, px = decode_image(_synth_image_payload(g))
+                flat = px.ravel()
+                rows.append(
+                    (
+                        g,
+                        fmt,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px.shape[2]),
+                        float(flat.mean()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        f"{average_hash(px):016x}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col] + [f.name for f in IMAGE_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL encoded images, one per input row: id ``g``
     gets a (4 + g%13) x (3 + g%11) image whose flat pixel ``i`` is
@@ -312,8 +371,6 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     BMP / 8-bit paletted BMP / gray PNG / RGB PNG (g % 6).  The
     closed-form pixel law makes decoded stats SQL-checkable without a
     SQL decoder — the fixture side of the multimodal_decode oracle."""
-    from .imagecodec import encode_bmp, encode_png, encode_pnm
-
     src = df.select(F.col(id_col).cast("long").alias(id_col))
     schema = StructType(
         [
@@ -324,21 +381,9 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for g in pdf[id_col]:
-                g = int(g)
-                w, h = 4 + g % 13, 3 + g % 11
-                c = 1 if g % 6 in (0, 3, 4) else 3
-                flat = (g * 31 + np.arange(w * h * c, dtype=np.int64) * 7) % 251
-                px = flat.astype(np.uint8).reshape(h, w, c)
-                v = g % 6
-                if v in (0, 1):
-                    payload = encode_pnm(px)
-                elif v in (2, 3):
-                    payload = encode_bmp(px)
-                else:
-                    payload = encode_png(px)
-                rows.append((g, payload))
+            rows = [
+                (int(g), _synth_image_payload(int(g))) for g in pdf[id_col]
+            ]
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return src.mapInPandas(run, schema=schema)
@@ -560,6 +605,61 @@ def audio_features(
     return df.mapInPandas(run, schema=schema)
 
 
+def _synth_wav_payload(g: int) -> bytes:
+    """The synth_audio per-row law (shared by the fixture generator
+    and the fused synth+decode path — identical bytes)."""
+    from .audiocodec import encode_wav
+
+    n = 40 + g % 97
+    ch = 1 + g % 2
+    rate = 8000 * (1 + g % 3)
+    i = np.arange(n * ch, dtype=np.int64)
+    flat = ((g * 37 + i * 11) % 65521) - 32760
+    samples = flat.astype(np.int16).reshape(n, ch)
+    extra = [(b"LIST", b"INFOjunk!")] if g % 5 == 0 else None
+    return encode_wav(samples, rate, extra_chunks=extra)
+
+
+def synth_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """synth_audio |> audio_features fused into ONE Python boundary
+    crossing (guide §4.1) — the WAV bytes are encoded and decoded in
+    the same batch loop instead of shipping across the JVM twice.
+    Row-for-row identical to the chained operators."""
+    from .audiocodec import audio_stats, decode_wav
+
+    src = df.select(F.col(id_col).cast("long").alias(id_col))
+    schema = StructType(
+        [StructField(id_col, LongType(), False)] + list(AUDIO_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for g in pdf[id_col]:
+                g = int(g)
+                rate, samples = decode_wav(_synth_wav_payload(g))
+                s = audio_stats(samples)
+                rows.append(
+                    (
+                        g,
+                        int(rate),
+                        int(samples.shape[1]),
+                        int(samples.shape[0]),
+                        float(samples.shape[0] / rate),
+                        s["amp_mean"],
+                        int(s["amp_min"]),
+                        int(s["amp_max"]),
+                        s["rms"],
+                        int(s["zero_crossings"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col] + [f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL encoded WAV clips, one per input row: id
     ``g`` gets ``40 + g%97`` frames of ``1 + g%2`` channels at
@@ -570,8 +670,6 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     chunk, so the RIFF chunk walk is exercised on real variety.  The
     closed-form sample law makes decoded stats SQL-checkable without a
     SQL decoder — the fixture side of the audio_features oracle."""
-    from .audiocodec import encode_wav
-
     src = df.select(F.col(id_col).cast("long").alias(id_col))
     schema = StructType(
         [
@@ -582,17 +680,7 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for g in pdf[id_col]:
-                g = int(g)
-                n = 40 + g % 97
-                ch = 1 + g % 2
-                rate = 8000 * (1 + g % 3)
-                i = np.arange(n * ch, dtype=np.int64)
-                flat = ((g * 37 + i * 11) % 65521) - 32760
-                samples = flat.astype(np.int16).reshape(n, ch)
-                extra = [(b"LIST", b"INFOjunk!")] if g % 5 == 0 else None
-                rows.append((g, encode_wav(samples, rate, extra_chunks=extra)))
+            rows = [(int(g), _synth_wav_payload(int(g))) for g in pdf[id_col]]
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return src.mapInPandas(run, schema=schema)

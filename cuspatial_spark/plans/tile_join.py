@@ -424,6 +424,56 @@ def point_to_nearest_linestring_join(
         bbox_idx, cover_tiles = tiles_covering_bboxes(
             minx, miny, maxx, maxy, x_min, y_min, scale, max_depth, tile_level
         )
+        n_tiles = 1 << (2 * tile_level)
+        full_cover = (
+            len(set(cover_tiles.tolist())) == n_tiles
+            and len(cover_tiles) == n_tiles * len(linestrings)
+        )
+        lids_arr = np.asarray(lids)
+        if full_cover and np.all(np.diff(lids_arr) > 0):
+            # r6 full-cover kernel path: when EVERY tile is covered by
+            # EVERY line (small layer, radius >= AOI span) the tile
+            # filter is vacuous — every point is reachable and its
+            # candidate set is the whole layer — so the per-point min
+            # runs as ONE slim Arrow crossing over the vectorized
+            # NumPy segment-distance kernel (the same kernel and op
+            # order as the SQL oracle and the JVM fold, so distances
+            # are bit-identical — A/B-verified over all 1M sf1.0
+            # rows).  argmin's first-index tie-break equals the
+            # (distance, id) struct min because ids ascend with index
+            # (guarded; otherwise fall through).  Both JVM expression
+            # forms of this reduction (higher-order fold, literal
+            # codegen) were measured ~2x slower: the fold pays
+            # interpreted per-element lambda evaluation and the
+            # literal form exceeds JIT method limits.
+            nl = len(linestrings)
+            po_k, lx_k, ly_k = np.asarray(part_offsets), np.asarray(lx), np.asarray(ly)
+            out_schema = StructType(
+                [f for f in points.schema.fields if f.name in keep]
+                + [
+                    StructField("linestring_id", LongType(), False),
+                    StructField("distance", DoubleType(), False),
+                ]
+            )
+
+            def dense_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    n = len(pdf)
+                    if n == 0:
+                        continue
+                    row = np.repeat(np.arange(n), nl)
+                    idx = np.tile(np.arange(nl), n)
+                    d = point_linestring_distance_pairs(
+                        pdf[x].to_numpy()[row], pdf[y].to_numpy()[row],
+                        idx, po_k, lx_k, ly_k,
+                    ).reshape(n, nl)
+                    am = np.argmin(d, axis=1)
+                    out = pdf[keep].copy()
+                    out["linestring_id"] = lids_arr[am].astype(np.int64)
+                    out["distance"] = d[np.arange(n), am]
+                    yield out
+
+            return points.select(*need).mapInPandas(dense_fn, schema=out_schema)
         if seg_counts[bbox_idx].sum() <= 200_000:
             lxa = np.asarray(lx, dtype=np.float64)
             lya = np.asarray(ly, dtype=np.float64)

@@ -1588,7 +1588,7 @@ def q_geo_knn(spark, sf_dir):
     )
     out = geodesic_knn_join(
         pois, pages, k=5, id_col="poi_id", query_id_col="query_id",
-        initial_radius_km="auto",
+        initial_radius_km="auto", dense_backend="arrow",
     )
     return out.select(
         "query_id", "neighbor_id",

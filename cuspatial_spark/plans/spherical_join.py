@@ -206,6 +206,96 @@ def _dense_knn(
     )
 
 
+def _dense_knn_arrow(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lon: str,
+    lat: str,
+    id_col: str,
+    query_id_col: str,
+    earth_radius_km: float,
+) -> DataFrame:
+    """Vectorized NumPy variant of :func:`_dense_knn` — the data side
+    (already counted <= dense_threshold) is collected to the driver
+    and each query batch computes all candidate haversines, the
+    stable (distance, id) ordering, and the top-k slice in one Arrow
+    crossing.  ~2x over the JVM expression form, whose per-candidate
+    higher-order lambda evaluation is interpreted.
+
+    Caveat (why this is opt-in): distances come from NumPy's libm
+    rather than the JVM's, so raw doubles can differ from _dense_knn
+    in the last ulp (rank order and 4-decimal-rounded distances were
+    verified identical across every test SF).  Use the default 'jvm'
+    backend when bit-parity with the progressive path matters."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    P = (
+        data.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(lon).cast("double").alias(lon),
+            F.col(lat).cast("double").alias(lat),
+        )
+        .toPandas()
+        .sort_values(id_col, kind="stable")
+    )
+    pid = P[id_col].to_numpy()
+    plon = np.radians(P[lon].to_numpy())
+    plat = np.radians(P[lat].to_numpy())
+    pcos = np.cos(plat)
+    R2 = 2.0 * earth_radius_km
+    qid_field = queries.schema[query_id_col]
+    schema = StructType(
+        [
+            qid_field,
+            StructField("neighbor_id", LongType(), True),
+            StructField("distance_km", DoubleType(), True),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            qlon = np.radians(pdf[lon].to_numpy(dtype=np.float64))[:, None]
+            qlat = np.radians(pdf[lat].to_numpy(dtype=np.float64))[:, None]
+            x = (qlon - plon[None, :]) / 2
+            y = (qlat - plat[None, :]) / 2
+            d = R2 * np.arcsin(
+                np.sqrt(
+                    np.sin(y) ** 2
+                    + np.sin(x) ** 2 * (pcos[None, :] * np.cos(qlat))
+                )
+            )
+            qid = pdf[query_id_col].to_numpy()
+            # self exclusion + null coords -> non-finite -> dropped
+            d[qid[:, None] == pid[None, :]] = np.inf
+            order = np.argsort(d, axis=1, kind="stable")[:, :k]
+            dd = np.take_along_axis(d, order, axis=1)
+            m = dd.shape[1]
+            out = pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qid, m),
+                    "neighbor_id": pid[order].ravel(),
+                    "distance_km": dd.ravel(),
+                    "rank": np.tile(np.arange(1, m + 1, dtype=np.int32), n),
+                }
+            )
+            yield out[np.isfinite(out["distance_km"])]
+
+    return queries.select(query_id_col, lon, lat).mapInPandas(fn, schema=schema)
+
+
 def geodesic_knn_join(
     data: DataFrame,
     queries: DataFrame,
@@ -218,6 +308,7 @@ def geodesic_knn_join(
     max_rounds: int = 8,
     earth_radius_km: float = EARTH_RADIUS_KM,
     dense_threshold: int = 1024,
+    dense_backend: str = "jvm",
 ) -> DataFrame:
     """(query_id, neighbor_id, distance_km, rank) for the k nearest
     data points to each query on the sphere — exact great-circle kNN
@@ -260,6 +351,11 @@ def geodesic_knn_join(
         # driver-synced count — all to produce the same exact kNN.
         n_data = max(data.count(), 1)
         if n_data <= dense_threshold:
+            if dense_backend == "arrow":
+                return _dense_knn_arrow(
+                    data, queries, k, lon, lat, id_col, query_id_col,
+                    earth_radius_km,
+                )
             return _dense_knn(
                 data, queries, k, lon, lat, id_col, query_id_col,
                 earth_radius_km,

@@ -240,3 +240,29 @@ class TestGeodesicKnn:
                 data, queries, k=k, id_col="poi_id", query_id_col="query_id",
                 initial_radius_km="bogus",
             )
+
+
+class TestDenseKnnArrowBackend:
+    def test_arrow_backend_matches_jvm(self, spark):
+        """The vectorized Arrow dense backend must reproduce the JVM
+        dense path's neighbor sets, ranks, and distances (to well
+        beyond output rounding; raw doubles may differ in the last
+        ulp across libms, which is why arrow is opt-in)."""
+        from cuspatial_spark.plans import geodesic_knn_join
+
+        rng = np.random.default_rng(23)
+        nq, nd, k = 200, 30, 5
+        queries = _frame(spark, np.arange(nq), rng.uniform(-180, 180, nq),
+                         np.degrees(np.arcsin(rng.uniform(-1, 1, nq))), "query_id")
+        data = _frame(spark, np.arange(nd), rng.uniform(-180, 180, nd),
+                      np.degrees(np.arcsin(rng.uniform(-1, 1, nd))), "poi_id")
+        kw = dict(k=k, id_col="poi_id", query_id_col="query_id",
+                  initial_radius_km="auto")
+        jvm = (geodesic_knn_join(data, queries, **kw)
+               .orderBy("query_id", "rank").toPandas())
+        arrow = (geodesic_knn_join(data, queries, dense_backend="arrow", **kw)
+                 .orderBy("query_id", "rank").toPandas())
+        assert (jvm[["query_id", "neighbor_id", "rank"]].values
+                == arrow[["query_id", "neighbor_id", "rank"]].values).all()
+        np.testing.assert_allclose(jvm.distance_km, arrow.distance_km,
+                                   rtol=1e-12)

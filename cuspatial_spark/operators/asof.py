@@ -55,6 +55,17 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys and c != right_time]
     rt = right_prefix + right_time
+    # synthesized names must not collide with existing left columns —
+    # a silent collision yields ambiguous duplicate output columns
+    # (ADVICE r5)
+    synthesized = {"__at", "__side", rt, *(right_prefix + c for c in payload)}
+    clash = synthesized.intersection(left.columns)
+    if clash:
+        raise ValueError(
+            "asof_join output column collision with left columns: "
+            f"{sorted(clash)}; rename the left columns or pass a "
+            "different right_prefix"
+        )
 
     l_side = left.select(
         *[F.col(c) for c in left.columns],

@@ -165,6 +165,12 @@ def leakage_safe_split(
     arithmetic, so any engine (the DuckDB oracle included) replays the
     exact assignment.
 
+    Ids must be NON-NEGATIVE: Spark's ``%`` keeps the dividend's sign,
+    so a negative canonical id yields u < 0 and the row lands in the
+    first split regardless of weights (ADVICE r5).  The oracle mirrors
+    the same formula, so the convention is pinned rather than changed;
+    pre-map negative id spaces before splitting.
+
     Scale shape: components cost O(log diameter) rounds of vertex-id
     shuffles (see connected_components); the split itself is one
     broadcast-free left join of docs against the (small) paired-docs

@@ -80,9 +80,13 @@ class ContinuousAggregate:
 
     # ------------------------------------------------------- internals
     def _bucket(self):
+        # floor (not truncate-toward-zero): pre-1970 timestamps have
+        # negative epoch seconds, and a double->long cast would push
+        # them into the bucket ABOVE, splitting one true bucket across
+        # two rollup rows (ADVICE r5)
         w = self.bucket_seconds
         return F.timestamp_seconds(
-            (F.col(self.time_col).cast("long") / w).cast("long") * w
+            F.floor(F.col(self.time_col).cast("long") / w).cast("long") * w
         ).alias("bucket")
 
     def _partial_exprs(self):

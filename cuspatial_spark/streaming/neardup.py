@@ -111,9 +111,17 @@ def streaming_lsh_neardup(
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
+            # every column needs an explicit dtype — a default float64
+            # 'ts' can mis-coerce the Arrow conversion to the
+            # TimestampType output schema on bucket expiry (ADVICE r5)
             yield pd.DataFrame(
-                {"id_a": [], "id_b": [], "band": [], "ts": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "band": "int32"})
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "band": pd.Series([], dtype="int32"),
+                    "ts": pd.Series([], dtype="datetime64[ns]"),
+                }
+            )
             return
         band = int(key[0])
         canon = state.get[0] if state.exists else None

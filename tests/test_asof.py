@@ -103,3 +103,15 @@ class TestAsofJoin:
         out = asof_join(l, r, on=["k", "sub"], left_time="ts", right_time="ts")
         got = {r["sub"]: r["right_v"] for r in out.collect()}
         assert got == {"x": 1.0, "y": None}
+
+    def test_rejects_left_column_collision(self, spark):
+        """Synthesized output names (__at, __side, right_<col>) must
+        not silently collide with existing left columns (ADVICE r5)."""
+        left = spark.createDataFrame(
+            [(1, 10.0, 99.0)], "k: long, t: double, right_v: double"
+        )
+        right = spark.createDataFrame(
+            [(1, 4.0, 100.0)], "k: long, t: double, v: double"
+        )
+        with pytest.raises(ValueError, match="collision"):
+            asof_join(left, right, on="k", left_time="t", right_time="t")

@@ -137,3 +137,28 @@ def _norm_small(df):
     pdf = df.toPandas().sort_values(["bucket", "kind"]).reset_index(drop=True)
     pdf["sum_value"] = pdf["sum_value"].round(9)
     return pdf
+
+
+def test_bucket_floors_negative_epochs(spark, tmp_path):
+    """Pre-1970 timestamps (negative epoch seconds) must floor into
+    the bucket BELOW, not truncate toward zero (ADVICE r5): one true
+    bucket must not split across two rollup rows."""
+    t = TiledTable(str(tmp_path / "base"))
+    df = spark.createDataFrame(pd.DataFrame({
+        "point_id": [0, 1, 2],
+        "x": [1.0, 2.0, 3.0], "y": [1.0, 2.0, 3.0],
+        # 1969-12-31 23:xx — same 1-hour bucket, negative epochs
+        "ts": pd.to_datetime([-1800, -1200, -600], unit="s"),
+        "kind": ["a", "a", "b"],
+        "value": [1.0, 2.0, 3.0],
+    }))
+    t.commit(df, "x", "y", 0, 8, 0, 8, source="neg")
+    ca = ContinuousAggregate(
+        t, str(tmp_path / "rollup"), time_col="ts",
+        aggs={"value": ["count", "sum"]},
+    )
+    ca.refresh(spark)
+    out = ca.read(spark).toPandas()
+    assert len(out) == 1
+    assert out["bucket"].iloc[0] == pd.Timestamp("1969-12-31 23:00:00")
+    assert out["sum_value"].iloc[0] == 6.0

@@ -1559,7 +1559,15 @@ def q_curve_keys(spark, sf_dir):
     consolidation of tile_assign + hilbert + s2_cells): the planar
     Morton/quadtree tile key, the Hilbert key, and the spherical
     S2-style cell id, joined on event_id so each stays independently
-    hash-checked."""
+    hash-checked.
+
+    r6 note: fusing the three projections into ONE pass was measured
+    3x SLOWER (2.18 s vs 0.68 s at sf1.0) — the combined Morton +
+    per-level Hilbert rotate chain + S2 face/uv/dilation chain in a
+    single WholeStageCodegen span exceeds JIT method limits, while the
+    join form runs three separately-compiled pipelines and its two
+    event_id joins reuse the spread partitioning (sorts only, no
+    exchange).  Kept the join form deliberately."""
     return (
         q_tile_assign(spark, sf_dir)
         .join(q_hilbert(spark, sf_dir), "event_id")

@@ -21,20 +21,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 
-def cosine_expr(a, b) -> "F.Column":
+def norm_expr(a) -> "F.Column":
+    """L2 norm of an array<float/double> column, deterministic
+    left-to-right fold (the exact _norm_sql oracle expression)."""
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a, b, na=None, nb=None) -> "F.Column":
     """Cosine similarity between two array<float/double> columns,
-    deterministic left-to-right fold."""
+    deterministic left-to-right fold.  ``na``/``nb`` accept
+    PRECOMPUTED norm columns (guide §2.3: a pair join evaluates this
+    expression once per PAIR, so hoisting the norms to per-vector
+    columns before the join removes two 64-element interpreted folds
+    per candidate; the value is bit-identical — same expression,
+    evaluated earlier)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
+    if na is None:
+        na = norm_expr(a)
+    if nb is None:
+        nb = norm_expr(b)
     return dot / (na * nb)
 
 
@@ -51,14 +62,20 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, score, rank)."""
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__nq", norm_expr(F.col("__qvec")))
+    joined = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        )
+        .withColumn("__nv", norm_expr(F.col("__v")))
+        .crossJoin(F.broadcast(q))
     )
-    joined = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
-    ).crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id_col,
         "neighbor_id",
-        cosine_expr(F.col("__v"), F.col("__qvec")).alias("score"),
+        cosine_expr(
+            F.col("__v"), F.col("__qvec"), na=F.col("__nv"), nb=F.col("__nq")
+        ).alias("score"),
     ).where(F.col(query_id_col) != F.col("neighbor_id"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -95,11 +112,13 @@ def cosine_near_dup_pairs(
       member's probe set covers the other's bucket — the same
       bucket-join shape as LSH banding, never an all-pairs join.
     """
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", norm_expr(F.col("__vb")))
     if centroids is None:
         a = (lhs or vectors).select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-        )
+        ).withColumn("__na", norm_expr(F.col("__va")))
         cand = F.broadcast(a).crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         cts = centroids.astype(np.float64)
@@ -115,6 +134,7 @@ def cosine_near_dup_pairs(
         probing = (
             (lhs or vectors)
             .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+            .withColumn("__na", norm_expr(F.col("__va")))
             .withColumn("bucket", F.explode(probe_buckets(F.col("__va"))))
         )
         cand = (
@@ -126,7 +146,10 @@ def cosine_near_dup_pairs(
         cand.select(
             "id_a",
             "id_b",
-            cosine_expr(F.col("__va"), F.col("__vb")).alias("score"),
+            cosine_expr(
+                F.col("__va"), F.col("__vb"),
+                na=F.col("__na"), nb=F.col("__nb"),
+            ).alias("score"),
         )
         .where(F.col("score") >= F.lit(float(threshold)))
     )
@@ -235,15 +258,23 @@ def ivf_topk(
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(idx.astype(np.int64)))
 
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-    ).withColumn("bucket", F.explode(probe_buckets(F.col("__qvec"))))
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn("__nq", norm_expr(F.col("__qvec")))
+        .withColumn("bucket", F.explode(probe_buckets(F.col("__qvec"))))
+    )
 
-    joined = vec_b.join(F.broadcast(q), on="bucket")
+    joined = vec_b.withColumn("__nv", norm_expr(F.col("__v"))).join(
+        F.broadcast(q), on="bucket"
+    )
     scored = joined.select(
         query_id_col,
         "neighbor_id",
-        cosine_expr(F.col("__v"), F.col("__qvec")).alias("score"),
+        cosine_expr(
+            F.col("__v"), F.col("__qvec"), na=F.col("__nv"), nb=F.col("__nq")
+        ).alias("score"),
     ).where(F.col(query_id_col) != F.col("neighbor_id"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
